@@ -1,0 +1,23 @@
+"""
+torchdrivesim_tpu: a TPU-native, fully differentiable 2D driving simulator.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+`inverted-ai/torchdrivesim` (reference: /root/reference). The simulation state
+is an immutable PyTree, every step/observe/infraction computation is a pure
+jittable function, full rollouts compile under ``jax.lax.scan``, and the
+bird's-eye-view renderer is a TPU rasterizer (baked background texture +
+fused dynamic-triangle rasterization) instead of OpenCV/pytorch3d/nvdiffrast.
+
+Resource lookup mirrors the reference (`torchdrivesim/__init__.py:5-9`):
+map folders are searched in ``TDS_RESOURCE_PATH`` directories first, then in
+the bundled ``resources/maps``.
+"""
+import os
+
+__version__ = "0.1.0"
+
+if 'TDS_RESOURCE_PATH' in os.environ:
+    _resource_path = [p for p in os.environ['TDS_RESOURCE_PATH'].split(':') if p]
+else:
+    _resource_path = []
+_resource_path += [os.path.join(x, 'resources/maps') for x in __path__]

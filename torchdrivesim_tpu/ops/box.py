@@ -1,0 +1,237 @@
+"""
+Oriented-box geometry: corners, differentiable intersection area, IoU.
+
+A from-scratch JAX re-derivation of the rotated-IoU pipeline the reference
+vendors from Rotated_IoU (`torchdrivesim/_iou_utils.py`). The reference's
+vertex sort contains a data-dependent dedup ``while`` loop and in-place index
+surgery (`_iou_utils.py:191-227`) that cannot trace under XLA; here the
+shoelace sum is reformulated as a fixed-shape masked cyclic sum over all 24
+candidate vertices, which makes truncation (and therefore dedup) unnecessary:
+
+* candidate vertices = 8 box corners (masked by mutual containment)
+  + 16 edge-pair intersections (masked by segment-parameter range);
+* valid candidates are sorted by angle around their masked centroid
+  (invalid ones sort to the end);
+* the polygon area is a masked shoelace sum with a cyclic "next valid vertex"
+  term, differentiable through the vertex coordinates.
+
+All functions accept arbitrary leading batch dimensions.
+"""
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EPSILON = 1e-8
+
+
+def box2corners(box: jnp.ndarray) -> jnp.ndarray:
+    """
+    Convert oriented boxes (x, y, length, width, angle) to 4 corners
+    (semantics of `_iou_utils.py:270-299`).
+
+    Args:
+        box: (..., 5) boxes.
+    Returns:
+        (..., 4, 2) corners in the order (+l+w, -l+w, -l-w, +l-w)/2 rotated.
+    """
+    x, y = box[..., 0:1], box[..., 1:2]
+    w, h = box[..., 2:3], box[..., 3:4]
+    alpha = box[..., 4:5]
+    x4 = jnp.asarray([0.5, -0.5, -0.5, 0.5], dtype=box.dtype) * w
+    y4 = jnp.asarray([0.5, 0.5, -0.5, -0.5], dtype=box.dtype) * h
+    c, s = jnp.cos(alpha), jnp.sin(alpha)
+    cx = x4 * c - y4 * s + x
+    cy = x4 * s + y4 * c + y
+    return jnp.stack([cx, cy], axis=-1)
+
+
+def box2corners_with_rear_factor(box: jnp.ndarray, rear_factor: float = 1.0) -> jnp.ndarray:
+    """
+    Corners of the rear portion of the box up to ``rear_factor`` of its length
+    (semantics of `_iou_utils.py:302-341`); used for red-light violations.
+    """
+    x, y = box[..., 0:1], box[..., 1:2]
+    w, h = box[..., 2:3], box[..., 3:4]
+    alpha = box[..., 4:5]
+    x4 = jnp.asarray([0.5, -0.5, -0.5, 0.5], dtype=box.dtype) * w * rear_factor
+    y4 = jnp.asarray([0.5, 0.5, -0.5, -0.5], dtype=box.dtype) * h
+    c, s = jnp.cos(alpha), jnp.sin(alpha)
+    # shift towards the rear so the kept portion starts at the rear edge
+    corr_x = (w * (1 - rear_factor)) / 2 * c
+    corr_y = (w * (1 - rear_factor)) / 2 * s
+    cx = x4 * c - y4 * s + x - corr_x
+    cy = x4 * s + y4 * c + y - corr_y
+    return jnp.stack([cx, cy], axis=-1)
+
+
+def _box_edge_intersections(corners1: jnp.ndarray, corners2: jnp.ndarray
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """
+    Intersection points of every edge pair between two quads
+    (semantics of `_iou_utils.py:42-84`).
+
+    Args:
+        corners1, corners2: (..., 4, 2).
+    Returns:
+        (intersections (..., 4, 4, 2), mask (..., 4, 4)).
+    """
+    # edges as (start, end): edge i of a quad is (corner i, corner i+1 mod 4)
+    nxt = [1, 2, 3, 0]
+    e1s, e1e = corners1, corners1[..., nxt, :]
+    e2s, e2e = corners2, corners2[..., nxt, :]
+    # pair every edge of box1 (axis -3) with every edge of box2 (axis -2)
+    x1, y1 = e1s[..., :, None, 0], e1s[..., :, None, 1]
+    x2, y2 = e1e[..., :, None, 0], e1e[..., :, None, 1]
+    x3, y3 = e2s[..., None, :, 0], e2s[..., None, :, 1]
+    x4, y4 = e2e[..., None, :, 0], e2e[..., None, :, 1]
+    num = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+    den_t = (x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)
+    parallel = jnp.abs(num) < 1e-4
+    t_for_mask = jnp.where(parallel, -1.0, den_t / jnp.where(parallel, 1.0, num))
+    mask_t = (t_for_mask > 0) & (t_for_mask < 1)
+    den_u = (x1 - x2) * (y1 - y3) - (y1 - y2) * (x1 - x3)
+    u_for_mask = jnp.where(parallel, -1.0, -den_u / jnp.where(parallel, 1.0, num))
+    mask_u = (u_for_mask > 0) & (u_for_mask < 1)
+    mask = mask_t & mask_u
+    t = den_t / (num + EPSILON)
+    ix = x1 + t * (x2 - x1)
+    iy = y1 + t * (y2 - y1)
+    inter = jnp.stack([ix, iy], axis=-1)
+    inter = inter * mask[..., None].astype(inter.dtype)
+    return inter, mask
+
+
+def _corners_in_box(corners1: jnp.ndarray, corners2: jnp.ndarray,
+                    tol: float = 1e-5) -> jnp.ndarray:
+    """
+    Which corners of box1 lie inside box2 (semantics of `_iou_utils.py:87-114`).
+
+    The containment tolerance is 1e-5 of the edge length (vs the reference's
+    1e-6 with decimal rounding): float32 corner coordinates computed from
+    world-frame boxes carry relative noise above 1e-6, which at the tight
+    tolerance caused identical boxes to lose corners and report IoU < 1.
+    """
+    a = corners2[..., 0:1, :]
+    b = corners2[..., 1:2, :]
+    d = corners2[..., 3:4, :]
+    ab = b - a
+    am = corners1 - a
+    ad = d - a
+    p_ab = jnp.sum(ab * am, axis=-1)
+    norm_ab = jnp.sum(ab * ab, axis=-1)
+    p_ad = jnp.sum(ad * am, axis=-1)
+    norm_ad = jnp.sum(ad * ad, axis=-1)
+    cond1 = p_ab / norm_ab
+    cond1 = (cond1 > -tol) & (cond1 < 1 + tol)
+    cond2 = p_ad / norm_ad
+    cond2 = (cond2 > -tol) & (cond2 < 1 + tol)
+    return cond1 & cond2
+
+
+def oriented_box_intersection_area(corners1: jnp.ndarray, corners2: jnp.ndarray) -> jnp.ndarray:
+    """
+    Differentiable area of intersection of two oriented quads
+    (replaces `_iou_utils.py:250-267` with a fixed-shape masked shoelace).
+
+    Args:
+        corners1, corners2: (..., 4, 2) quad corners.
+    Returns:
+        (...) intersection areas.
+    """
+    # Recenter on the joint corner mean before any geometry: the area is
+    # translation-invariant, and working near the origin avoids float32
+    # catastrophic cancellation at large world coordinates (boxes at
+    # x ~ 400 m would otherwise lose corners to containment-test noise).
+    center = jax.lax.stop_gradient(
+        (jnp.mean(corners1, axis=-2, keepdims=True)
+         + jnp.mean(corners2, axis=-2, keepdims=True)) / 2)
+    corners1 = corners1 - center
+    corners2 = corners2 - center
+    inter, mask_inter = _box_edge_intersections(corners1, corners2)
+    c1_in_2 = _corners_in_box(corners1, corners2)
+    c2_in_1 = _corners_in_box(corners2, corners1)
+    batch_shape = corners1.shape[:-2]
+    verts = jnp.concatenate([
+        corners1, corners2, inter.reshape(batch_shape + (16, 2))
+    ], axis=-2)  # (..., 24, 2)
+    mask = jnp.concatenate([
+        c1_in_2, c2_in_1, mask_inter.reshape(batch_shape + (16,))
+    ], axis=-1)  # (..., 24)
+
+    maskf = mask.astype(verts.dtype)
+    num_valid = jnp.sum(maskf, axis=-1, keepdims=True)  # (..., 1)
+    num_valid_safe = jnp.maximum(num_valid, 1.0)
+    center = jnp.sum(verts * maskf[..., None], axis=-2, keepdims=True) / num_valid_safe[..., None]
+
+    # angle around the centroid; masked entries get +inf so they sort last
+    dx = jnp.where(mask, verts[..., 0] - center[..., 0], 1.0)
+    dy = jnp.where(mask, verts[..., 1] - center[..., 1], 0.0)
+    angles = jnp.arctan2(dy, dx)
+    angles = jnp.where(mask, angles, jnp.inf)
+    order = jnp.argsort(angles, axis=-1)  # valid first, by angle
+    sorted_verts = jnp.take_along_axis(verts, order[..., None], axis=-2)
+    sorted_mask = jnp.take_along_axis(mask, order, axis=-1)
+
+    # cyclic shoelace: next vertex of entry i is entry i+1 if valid, else entry 0
+    next_verts = jnp.roll(sorted_verts, -1, axis=-2)
+    next_mask = jnp.roll(sorted_mask, -1, axis=-1)
+    # the last entry's "next" is never valid by construction of roll; fix wrap
+    first_vert = sorted_verts[..., 0:1, :]
+    next_verts = jnp.where(next_mask[..., None], next_verts, first_vert)
+    cross = (sorted_verts[..., 0] * next_verts[..., 1]
+             - sorted_verts[..., 1] * next_verts[..., 0])
+    cross = cross * sorted_mask.astype(cross.dtype)
+    area = jnp.abs(jnp.sum(cross, axis=-1)) / 2
+    # fewer than 3 vertices -> no polygon
+    area = jnp.where(num_valid[..., 0] >= 3, area, 0.0)
+    return area
+
+
+def iou_differentiable(box1: jnp.ndarray, box2: jnp.ndarray) -> jnp.ndarray:
+    """
+    Differentiable approximate IoU of oriented boxes
+    (semantics of `_iou_utils.py:344-367`).
+
+    Args:
+        box1, box2: (..., 5) boxes (x, y, length, width, angle).
+    Returns:
+        (...) IoU values.
+    """
+    # Recenter the boxes before computing corners: corners computed at large
+    # world coordinates carry float32 noise (~5e-5 at x=400 m) that no
+    # later recentering can remove, which breaks the containment test for
+    # exactly-overlapping boxes. Shifting the box centers first keeps the
+    # corner math exact. Area is translation-invariant, so gradients are
+    # unaffected (the shift is stop_gradient'ed).
+    center = jax.lax.stop_gradient((box1[..., :2] + box2[..., :2]) / 2)
+    shift = jnp.concatenate([center, jnp.zeros_like(box1[..., 2:])], axis=-1)
+    corners1 = box2corners(box1 - shift)
+    corners2 = box2corners(box2 - shift)
+    inter_area = oriented_box_intersection_area(corners1, corners2)
+    area1 = box1[..., 2] * box1[..., 3]
+    area2 = box2[..., 2] * box2[..., 3]
+    union = area1 + area2 - inter_area
+    return inter_area / union
+
+
+def iou_non_differentiable(boxes: jnp.ndarray) -> jnp.ndarray:
+    """
+    Exact pairwise IoU matrix of oriented boxes (replaces the pytorch3d
+    ``box3d_overlap`` path at `_iou_utils.py:370-388`): evaluates the
+    differentiable intersection pipeline on all pairs under stop_gradient.
+    For 2D rectangles the polygon-clipping area is exact, so this matches
+    the reference's exact IoU up to float tolerance.
+
+    Args:
+        boxes: (..., N, 5).
+    Returns:
+        (..., N, N) IoU matrix.
+    """
+    b1 = boxes[..., :, None, :]
+    b2 = boxes[..., None, :, :]
+    n = boxes.shape[-2]
+    b1 = jnp.broadcast_to(b1, boxes.shape[:-2] + (n, n, 5))
+    b2 = jnp.broadcast_to(b2, boxes.shape[:-2] + (n, n, 5))
+    return jax.lax.stop_gradient(iou_differentiable(b1, b2))

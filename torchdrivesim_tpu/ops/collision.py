@@ -1,0 +1,89 @@
+"""
+Disc-based differentiable collision detection (TrafficSim-style), plus the
+fully batched agent-pair collision matrix the reference computes with a
+per-agent Python loop (`simulator.py:1186-1192`, TODO at `:1185`).
+"""
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def bbox2discs(box: jnp.ndarray, num_discs: int = 5) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """
+    Represent oriented boxes as ``num_discs`` equally spaced discs of radius
+    min(length, width)/2 (semantics of `infractions.py:378-427`).
+
+    Args:
+        box: (..., 5) boxes (x, y, length, width, angle).
+        num_discs: odd disc count.
+    Returns:
+        (centers (..., num_discs, 2), radius (..., 1)).
+    """
+    assert isinstance(num_discs, int) and num_discs > 1 and num_discs % 2 != 0
+    half = (num_discs - 1) // 2
+    xy = box[..., 0:2]
+    length = box[..., 2:3]
+    width = box[..., 3:4]
+    yaw = box[..., 4:5]
+    r = jnp.minimum(length, width) / 2
+    span = jnp.maximum(length, width) / 2 - r  # (..., 1)
+    offsets = jnp.asarray([i / half for i in range(-half, half + 1)], dtype=box.dtype)
+    disc_x = offsets * span  # (..., num_discs)
+    # if the box is wider than long, the major axis is rotated by pi/2
+    yaw_eff = yaw + (np.pi / 2) * (width > length)
+    c = jnp.cos(yaw_eff)
+    s = jnp.sin(yaw_eff)
+    cx = disc_x * c + xy[..., 0:1]
+    cy = disc_x * s + xy[..., 1:2]
+    centers = jnp.stack([cx, cy], axis=-1)
+    return centers, r
+
+
+def collision_detection_with_discs(box1: jnp.ndarray, box2: jnp.ndarray,
+                                   num_discs: int = 5) -> jnp.ndarray:
+    """
+    Differentiable collision loss between corresponding boxes
+    (semantics of `infractions.py:503-545`): ``relu(1 - d / (r1 + r2))``
+    where d is the minimum pairwise disc-center distance.
+
+    Args:
+        box1, box2: (..., 5) boxes.
+    Returns:
+        (...) collision values in [0, 1].
+    """
+    c1, r1 = bbox2discs(box1, num_discs)
+    c2, r2 = bbox2discs(box2, num_discs)
+    diff = c1[..., :, None, :] - c2[..., None, :, :]  # (..., D, D, 2)
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d = jnp.sqrt(jnp.min(d2.reshape(d2.shape[:-2] + (num_discs * num_discs,)), axis=-1) + 1e-12)
+    return jnp.maximum(1.0 - d / (r1[..., 0] + r2[..., 0]), 0.0)
+
+
+def collision_matrix_with_discs(boxes: jnp.ndarray, num_discs: int = 5) -> jnp.ndarray:
+    """
+    All-pairs disc collision values in one batched op — the TPU-native
+    replacement for the reference's per-agent loop (`simulator.py:1186`).
+
+    Computes disc decompositions once per agent and forms the full AxA
+    min-distance matrix via one squared-distance contraction.
+
+    Args:
+        boxes: (..., A, 5).
+    Returns:
+        (..., A, A) symmetric collision-value matrix (diagonal = 1, the
+        self-overlap; mask it out downstream).
+    """
+    centers, r = bbox2discs(boxes, num_discs)  # (..., A, D, 2), (..., A, 1)
+    batch = boxes.shape[:-2]
+    a = boxes.shape[-2]
+    flat = centers.reshape(batch + (a * num_discs, 2))
+    # pairwise squared distances between all discs of all agents
+    sq = jnp.sum(flat * flat, axis=-1)
+    inner = jnp.einsum('...id,...jd->...ij', flat, flat)
+    d2 = sq[..., :, None] + sq[..., None, :] - 2 * inner
+    d2 = d2.reshape(batch + (a, num_discs, a, num_discs))
+    d2 = jnp.min(jnp.min(d2, axis=-1), axis=-2)  # (..., A, A)
+    d = jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-12)
+    rsum = r[..., :, 0:1] + r[..., None, :, 0]  # (..., A, A)
+    return jnp.maximum(1.0 - d / rsum, 0.0)

@@ -1,0 +1,221 @@
+"""
+Baked map grids: the TPU-native replacement for runtime geometric queries.
+
+The reference computes offroad distance against the full road mesh each step
+(`infractions.py:176-229`) and queries the lanelet2 C++ library per agent per
+step for wrong-way detection (`infractions.py:263-295`). On TPU both become a
+single bilinear gather into a grid baked once per map:
+
+* ``sdf``: squared-distance-to-road is recovered from a (signed) distance
+  field; differentiable through bilinear interpolation.
+* ``directions``: per-cell candidate lane directions (up to K layers, for
+  overlapping lanelets at intersections), stored as (cos, sin) pairs plus a
+  validity mask; the wrong-way loss takes the min over candidates, matching
+  `infractions.py:282-288`.
+
+Grids are row-major with ``data[iy, ix]`` covering the world-space cell
+``origin + (ix, iy) * cell_size``.
+"""
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class Grid2D:
+    """A world-anchored 2D grid of C channels."""
+    data: jnp.ndarray          #: (H, W, C)
+    origin: jnp.ndarray        #: (2,) world coordinates of cell (0, 0) center
+    cell_size: float = struct.field(pytree_node=False, default=1.0)
+
+    @property
+    def height(self):
+        return self.data.shape[0]
+
+    @property
+    def width(self):
+        return self.data.shape[1]
+
+
+def bilinear_sample(grid: Grid2D, points: jnp.ndarray,
+                    fill_value: float = 0.0) -> jnp.ndarray:
+    """
+    Differentiable bilinear interpolation of grid channels at world points.
+
+    Args:
+        grid: the grid to sample.
+        points: (..., 2) world coordinates.
+    Returns:
+        (..., C) interpolated channel values; out-of-bounds points get
+        ``fill_value``.
+    """
+    uv = (points - grid.origin) / grid.cell_size  # (..., 2) in cell units
+    x, y = uv[..., 0], uv[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    h, w = grid.data.shape[0], grid.data.shape[1]
+
+    def gather(yi, xi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xi = jnp.clip(xi, 0, w - 1)
+        yi = jnp.clip(yi, 0, h - 1)
+        vals = grid.data[yi, xi]  # advanced indexing -> XLA gather
+        return jnp.where(valid[..., None], vals, fill_value)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    tx = tx[..., None]
+    ty = ty[..., None]
+    top = v00 * (1 - tx) + v01 * tx
+    bot = v10 * (1 - tx) + v11 * tx
+    return top * (1 - ty) + bot * ty
+
+
+def nearest_sample(grid: Grid2D, points: jnp.ndarray,
+                   fill_value: float = 0.0) -> jnp.ndarray:
+    """Nearest-neighbor grid sample (for categorical channels)."""
+    uv = (points - grid.origin) / grid.cell_size
+    xi = jnp.round(uv[..., 0]).astype(jnp.int32)
+    yi = jnp.round(uv[..., 1]).astype(jnp.int32)
+    h, w = grid.data.shape[0], grid.data.shape[1]
+    valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    xi = jnp.clip(xi, 0, w - 1)
+    yi = jnp.clip(yi, 0, h - 1)
+    vals = grid.data[yi, xi]
+    return jnp.where(valid[..., None], vals, fill_value)
+
+
+# ----------------------------------------------------------------------------
+# Baking (offline, one-time per map)
+# ----------------------------------------------------------------------------
+
+def grid_coordinates(origin: np.ndarray, cell_size: float, height: int, width: int) -> np.ndarray:
+    """(H, W, 2) world coordinates of all cell centers."""
+    xs = origin[0] + np.arange(width) * cell_size
+    ys = origin[1] + np.arange(height) * cell_size
+    gx, gy = np.meshgrid(xs, ys)
+    return np.stack([gx, gy], axis=-1)
+
+
+def mesh_extent(verts: np.ndarray, margin: float = 10.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Axis-aligned bounds of mesh vertices with a margin."""
+    lo = np.asarray(verts).reshape(-1, 2).min(axis=0) - margin
+    hi = np.asarray(verts).reshape(-1, 2).max(axis=0) + margin
+    return lo, hi
+
+
+def bake_distance_field(verts: np.ndarray, faces: np.ndarray, cell_size: float = 0.5,
+                        margin: float = 10.0, chunk_cells: int = 8192,
+                        face_chunk: int = 4096) -> Grid2D:
+    """
+    Bake an unsigned distance-to-mesh field (in meters, 0 on the mesh).
+
+    Computed exactly with the point-to-triangle op, scanning over cell and
+    face chunks on the accelerator. One-time cost per map; cache the result.
+
+    Args:
+        verts: (V, 2) mesh vertices.
+        faces: (F, 3) triangle indices.
+    """
+    from torchdrivesim_tpu.ops.point_mesh import point_to_triangles_distance_sq_chunked
+
+    verts = np.asarray(verts, dtype=np.float32).reshape(-1, 2)
+    faces = np.asarray(faces, dtype=np.int32).reshape(-1, 3)
+    lo, hi = mesh_extent(verts, margin)
+    width = int(np.ceil((hi[0] - lo[0]) / cell_size)) + 1
+    height = int(np.ceil((hi[1] - lo[1]) / cell_size)) + 1
+    coords = grid_coordinates(lo, cell_size, height, width).reshape(-1, 2).astype(np.float32)
+
+    tris = jnp.asarray(verts[faces])  # (F, 3, 2)
+    dist_fn = jax.jit(lambda pts: jnp.sqrt(
+        point_to_triangles_distance_sq_chunked(pts, tris, chunk=face_chunk)))
+
+    out = np.empty((coords.shape[0],), dtype=np.float32)
+    for start in range(0, coords.shape[0], chunk_cells):
+        pts = jnp.asarray(coords[start:start + chunk_cells])
+        out[start:start + pts.shape[0]] = np.asarray(dist_fn(pts))
+    data = out.reshape(height, width, 1)
+    return Grid2D(data=jnp.asarray(data), origin=jnp.asarray(lo, dtype=jnp.float32),
+                  cell_size=float(cell_size))
+
+
+def rasterize_triangles_np(verts: np.ndarray, faces: np.ndarray, values: np.ndarray,
+                           origin: np.ndarray, cell_size: float, height: int, width: int,
+                           layers: int = 4, tolerance: float = 0.0) -> Tuple[np.ndarray, np.ndarray]:
+    """
+    Host-side triangle rasterization collecting up to ``layers`` distinct
+    per-cell values (used for baking direction fields where overlapping
+    lanelets each contribute a candidate direction).
+
+    Args:
+        verts: (V, 2); faces: (F, 3); values: (F,) value per face.
+        tolerance: dilate each triangle's coverage by this many meters.
+    Returns:
+        (data (H, W, layers), count (H, W)) arrays; unused slots are 0.
+    """
+    data = np.zeros((height, width, layers), dtype=np.float32)
+    count = np.zeros((height, width), dtype=np.int32)
+    tol_cells = int(np.ceil(tolerance / cell_size))
+    tri = verts[faces]  # (F, 3, 2)
+    for f in range(tri.shape[0]):
+        t = tri[f]
+        v = values[f]
+        lo = np.floor((t.min(axis=0) - origin) / cell_size).astype(int) - tol_cells
+        hi = np.ceil((t.max(axis=0) - origin) / cell_size).astype(int) + tol_cells + 1
+        x0, y0 = max(lo[0], 0), max(lo[1], 0)
+        x1, y1 = min(hi[0], width), min(hi[1], height)
+        if x0 >= x1 or y0 >= y1:
+            continue
+        xs = origin[0] + np.arange(x0, x1) * cell_size
+        ys = origin[1] + np.arange(y0, y1) * cell_size
+        gx, gy = np.meshgrid(xs, ys)
+        p = np.stack([gx, gy], axis=-1)
+        # barycentric inside test with tolerance via edge distances
+        inside = _points_near_triangle_np(p.reshape(-1, 2), t, tolerance).reshape(p.shape[:2])
+        iy, ix = np.nonzero(inside)
+        for k in range(len(iy)):
+            cy, cx = iy[k] + y0, ix[k] + x0
+            c = count[cy, cx]
+            existing = data[cy, cx, :c]
+            # keep only sufficiently distinct directions
+            if c > 0 and np.any(np.abs(np.angle(np.exp(1j * (existing - v)))) < 0.1):
+                continue
+            if c < layers:
+                data[cy, cx, c] = v
+                count[cy, cx] = c + 1
+    return data, count
+
+
+def _points_near_triangle_np(p: np.ndarray, tri: np.ndarray, tolerance: float) -> np.ndarray:
+    """Host helper: which points lie inside a triangle or within tolerance."""
+    v0, v1, v2 = tri[0], tri[1], tri[2]
+    d = np.stack([
+        _seg_dist_np(p, v0, v1),
+        _seg_dist_np(p, v1, v2),
+        _seg_dist_np(p, v2, v0),
+    ], axis=0).min(axis=0)
+    # inside test (sign-consistent cross products)
+    def cross(a, b, pts):
+        return (b[0] - a[0]) * (pts[:, 1] - a[1]) - (b[1] - a[1]) * (pts[:, 0] - a[0])
+    c0, c1, c2 = cross(v0, v1, p), cross(v1, v2, p), cross(v2, v0, p)
+    inside = ((c0 >= 0) & (c1 >= 0) & (c2 >= 0)) | ((c0 <= 0) & (c1 <= 0) & (c2 <= 0))
+    return inside | (d <= tolerance)
+
+
+def _seg_dist_np(p: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    ab = b - a
+    l2 = float(ab @ ab)
+    if l2 < 1e-12:
+        return np.linalg.norm(p - a, axis=-1)
+    t = np.clip(((p - a) @ ab) / l2, 0.0, 1.0)
+    proj = a[None] + t[:, None] * ab[None]
+    return np.linalg.norm(p - proj, axis=-1)

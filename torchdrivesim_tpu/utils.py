@@ -1,0 +1,153 @@
+"""
+Geometric tensor utilities shared by the whole simulator.
+
+Pure-``jnp`` counterparts of the reference helpers
+(`torchdrivesim/utils.py:31-187`), written batch-first and shape-polymorphic
+so they trace cleanly under ``jax.jit`` / ``jax.vmap``.
+"""
+import collections
+from functools import reduce
+from typing import Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+Resolution = collections.namedtuple('Resolution', ['width', 'height'])
+
+
+def normalize_angle(angle):
+    """Normalize angle(s) to the <-pi, pi) range. Works on floats and arrays."""
+    return (angle + np.pi) % (2 * np.pi) - np.pi
+
+
+def rotation_matrix(theta: jnp.ndarray) -> jnp.ndarray:
+    """
+    Counterclockwise 2D rotation matrix (ref: `utils.py:40`).
+
+    Args:
+        theta: (..., 1) rotation angle in radians.
+    Returns:
+        (..., 2, 2) rotation matrices.
+    """
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    row0 = jnp.concatenate([c, -s], axis=-1)
+    row1 = jnp.concatenate([s, c], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
+
+
+def rotate(v: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """
+    Rotate 2D vectors counterclockwise (ref: `utils.py:56`).
+
+    Args:
+        v: (..., 2) points.
+        angle: (..., 1) angles in radians, broadcastable against ``v``.
+    Returns:
+        (..., 2) rotated points.
+    """
+    c = jnp.cos(angle[..., 0])
+    s = jnp.sin(angle[..., 0])
+    x = c * v[..., 0] - s * v[..., 1]
+    y = s * v[..., 0] + c * v[..., 1]
+    return jnp.stack([x, y], axis=-1)
+
+
+def relative(origin_xy: jnp.ndarray, origin_psi: jnp.ndarray,
+             target_xy: jnp.ndarray, target_psi: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """
+    Position/orientation of target relative to origin (ref: `utils.py:72`).
+    ``*_xy`` are (..., 2), ``*_psi`` are (..., 1).
+    """
+    rel_xy = rotate(target_xy - origin_xy, -origin_psi)
+    rel_psi = normalize_angle(target_psi - origin_psi)
+    return rel_xy, rel_psi
+
+
+def transform(points: jnp.ndarray, pose: jnp.ndarray) -> jnp.ndarray:
+    """
+    Map points given relative to a pose into absolute coordinates
+    (ref: `utils.py:82`).
+
+    Args:
+        points: (..., N, 2) relative points.
+        pose: (..., 3) pose (x, y, yaw).
+    Returns:
+        (..., N, 2) absolute points.
+    """
+    xy = pose[..., None, :2]
+    psi = pose[..., None, 2:3]
+    return rotate(points, psi) + xy
+
+
+def is_inside_polygon(point: jnp.ndarray, polygon: jnp.ndarray) -> jnp.ndarray:
+    """
+    Check whether points lie inside a convex polygon (ref: `utils.py:99`).
+    The polygon may wind either way; points exactly on the boundary count
+    as inside in one of the two orientations.
+
+    Args:
+        point: B x P x 2 points (zero or more batch dims B, zero or more
+            point dims P).
+        polygon: B x N x 2 polygon vertices.
+    Returns:
+        boolean B x P array.
+    """
+    batch_dims = polygon.ndim - 2
+    assert batch_dims >= 0
+    assert polygon.shape[:batch_dims] == point.shape[:batch_dims]
+    for _ in point.shape[batch_dims:-1]:
+        polygon = jnp.expand_dims(polygon, -3)
+    edges_start = polygon
+    edges_end = jnp.roll(polygon, -1, axis=-2)
+    a = edges_end[..., 1] - edges_start[..., 1]
+    b = edges_start[..., 0] - edges_end[..., 0]
+    c = -a * edges_start[..., 0] - b * edges_start[..., 1]
+    is_right = a * point[..., None, 0] + b * point[..., None, 1] + c >= 0
+    all_right = jnp.all(is_right, axis=-1)
+    all_left = jnp.all(jnp.logical_not(is_right), axis=-1)
+    return jnp.logical_or(all_right, all_left)
+
+
+def line_circle_intersection(p1: jnp.ndarray, p2: jnp.ndarray,
+                             circle_center: jnp.ndarray, radius: jnp.ndarray) -> jnp.ndarray:
+    """
+    Batched segment-circle intersection test (ref: `utils.py:139`).
+
+    Args:
+        p1, p2: (..., 2) segment endpoints.
+        circle_center: (..., 2) circle centers.
+        radius: (..., 1) circle radii.
+    Returns:
+        (..., 1) boolean intersection flags.
+    """
+    d = p2 - p1
+    f = p1 - circle_center
+    a = jnp.sum(d * d, axis=-1)
+    b = 2 * jnp.sum(f * d, axis=-1)
+    c = jnp.sum(f * f, axis=-1) - radius[..., 0] * radius[..., 0]
+    discriminant = b * b - 4 * a * c
+    has_intersection = discriminant >= 0
+    sqrt_disc = jnp.sqrt(jnp.clip(discriminant, a_min=0))
+    a_safe = jnp.where(jnp.abs(a) < 1e-8, 1e-8, a)
+    t1 = (-b - sqrt_disc) / (2 * a_safe)
+    t2 = (-b + sqrt_disc) / (2 * a_safe)
+    t_min = jnp.minimum(t1, t2)
+    t_max = jnp.maximum(t1, t2)
+    seg_hit = (t_min <= 1) & (t_max >= 0)
+    return (has_intersection & seg_hit)[..., None]
+
+
+def merge_dicts(ds: List[Dict]) -> Dict:
+    """
+    Merge a sequence of dicts; later entries overwrite earlier ones,
+    matching the reference behavior (`utils.py:125-132`, whose docstring
+    claims the opposite of what its code does).
+    """
+    def f(x, y):
+        x.update(y)
+        return x
+    return reduce(f, ds, dict())
+
+
+def assert_equal(x, y):
+    assert x == y, f"{x} != {y}"
