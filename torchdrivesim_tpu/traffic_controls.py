@@ -1,0 +1,204 @@
+"""
+Traffic controls: static rectangular stoplines with discrete state.
+
+Mirrors the semantics of the reference (`torchdrivesim/traffic_controls.py`):
+state is advanced by replaying a recorded history while available, then by
+``compute_state``; red-light violations are oriented-box overlaps between the
+front portion of an agent and the stopline while red.
+
+TPU-native split: the per-step state advance and the violation check are
+pure jittable functions operating on arrays (time is a traced scalar), and a
+thin class facade mirrors the reference API for scenario construction.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchdrivesim_tpu.ops.box import (
+    box2corners, box2corners_with_rear_factor, oriented_box_intersection_area,
+)
+
+#: far-away placeholder for masked stopline corners (ref: `traffic_controls.py:33`)
+MASKED_CORNER_VALUE = -1000.0
+
+
+def masked_corners(pos: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """
+    Stopline corners with absent entries displaced far away so they can never
+    overlap an agent (ref: `traffic_controls.py:31-33`).
+
+    Args:
+        pos: BxNx5 stopline poses (x, y, length, width, orientation).
+        mask: BxN presence flags.
+    Returns:
+        BxNx4x2 corners.
+    """
+    corners = box2corners(pos)
+    m = mask.astype(corners.dtype)[..., None, None]
+    return corners * m + (1 - m) * MASKED_CORNER_VALUE
+
+
+def replay_or_hold_state(state: jnp.ndarray, replay_states: jnp.ndarray,
+                         time) -> jnp.ndarray:
+    """
+    Pure state advance (semantics of `traffic_controls.py:127-136`): while
+    ``time`` is within the replay horizon use the recorded state, otherwise
+    hold the current state. ``time`` may be a traced scalar.
+
+    Args:
+        state: BxN current state indices.
+        replay_states: BxNxT recorded states (T may be 0).
+        time: scalar step index.
+    Returns:
+        BxN next state indices.
+    """
+    total = replay_states.shape[-1]
+    if total == 0:
+        return state
+    t = jnp.clip(jnp.asarray(time), 0, total - 1)
+    replayed = jnp.take_along_axis(
+        replay_states, jnp.broadcast_to(t, state.shape)[..., None], axis=-1)[..., 0]
+    return jnp.where(jnp.asarray(time) < total, replayed, state)
+
+
+def red_light_violations(agent_state: jnp.ndarray, light_corners: jnp.ndarray,
+                         light_state: jnp.ndarray, red_index: int,
+                         rear_factor: float = 0.1) -> jnp.ndarray:
+    """
+    Which agents overlap a red stopline (semantics of
+    `traffic_controls.py:164-178`), fully batched over agents x lights.
+
+    Args:
+        agent_state: BxAx5 agent boxes (x, y, length, width, orientation).
+        light_corners: BxNx4x2 stopline corners (masked entries far away).
+        light_state: BxN state indices.
+        red_index: index of the 'red' state in allowed_states.
+    Returns:
+        BxA boolean violation flags.
+    """
+    b, a = agent_state.shape[0], agent_state.shape[1]
+    n = light_corners.shape[1]
+    if a == 0 or n == 0 or b == 0:
+        return jnp.zeros((b, a), dtype=bool)
+    agent_corners = box2corners_with_rear_factor(agent_state, rear_factor)
+    ac = agent_corners[:, :, None]                        # B x A x 1 x 4 x 2
+    lc = light_corners[:, None]                           # B x 1 x N x 4 x 2
+    ac = jnp.broadcast_to(ac, (b, a, n, 4, 2))
+    lc = jnp.broadcast_to(lc, (b, a, n, 4, 2))
+    overlap = oriented_box_intersection_area(ac, lc) > 0  # B x A x N
+    is_red = (light_state == red_index)[:, None]          # B x 1 x N
+    return jnp.any(overlap & is_red, axis=-1)
+
+
+class BaseTrafficControl:
+    """
+    Class facade over the pure functions, mirroring the reference API
+    (`traffic_controls.py:12-149`). Arrays are replaced, never mutated.
+
+    Args:
+        pos: BxNx5 stopline tensor (x, y, length, width, orientation).
+        allowed_states: state names, e.g. light colors.
+        replay_states: BxNxT recorded state indices (default T=0).
+        mask: BxN presence flags.
+    """
+    def __init__(self, pos: jnp.ndarray, allowed_states: Optional[List[str]] = None,
+                 replay_states: Optional[jnp.ndarray] = None,
+                 mask: Optional[jnp.ndarray] = None):
+        self.pos = jnp.asarray(pos)
+        self.allowed_states = allowed_states if allowed_states is not None \
+            else self._default_allowed_states()
+        self.replay_states = jnp.asarray(replay_states) if replay_states is not None \
+            else jnp.zeros(self.pos.shape[:2] + (0,), jnp.int32)
+        self.mask = jnp.asarray(mask) if mask is not None \
+            else jnp.ones(self.pos.shape[:2], dtype=bool)
+        self.corners = masked_corners(self.pos, self.mask)
+        self.state = self._default_state()
+
+    @classmethod
+    def _default_allowed_states(cls) -> List[str]:
+        return ['none']
+
+    def _default_state(self) -> jnp.ndarray:
+        if self.replay_states.shape[-1] > 0:
+            return self.replay_states[..., 0]
+        return jnp.zeros(self.pos.shape[:2], jnp.int32)
+
+    @property
+    def total_replay_time(self) -> int:
+        return self.replay_states.shape[-1]
+
+    def copy(self) -> "BaseTrafficControl":
+        other = self.__class__(pos=self.pos, allowed_states=list(self.allowed_states),
+                               replay_states=self.replay_states, mask=self.mask)
+        other.state = self.state
+        return other
+
+    def to(self, device=None) -> "BaseTrafficControl":
+        return self
+
+    def extend(self, n: int, in_place: bool = True) -> "BaseTrafficControl":
+        target = self if in_place else self.copy()
+        enlarge = lambda x: jnp.repeat(x, n, axis=0)
+        target.pos = enlarge(self.pos)
+        target.corners = enlarge(self.corners)
+        target.mask = enlarge(self.mask)
+        target.replay_states = enlarge(self.replay_states)
+        target.state = enlarge(self.state)
+        return target
+
+    def select_batch_elements(self, idx, in_place: bool = True) -> "BaseTrafficControl":
+        target = self if in_place else self.copy()
+        idx = jnp.asarray(idx)
+        target.pos = self.pos[idx]
+        target.corners = self.corners[idx]
+        target.mask = self.mask[idx]
+        target.replay_states = self.replay_states[idx]
+        target.state = self.state[idx]
+        return target
+
+    def set_state(self, state: jnp.ndarray) -> None:
+        self.state = state
+
+    def compute_state(self, time: int) -> jnp.ndarray:
+        """Default: hold the current state (ref: `traffic_controls.py:121`)."""
+        return self.state
+
+    def step(self, time: int) -> None:
+        """Replay-first state advance (ref: `traffic_controls.py:127-136`)."""
+        self.state = replay_or_hold_state(self.compute_state(time),
+                                          self.replay_states, time)
+
+    def compute_violation(self, agent_state: jnp.ndarray) -> jnp.ndarray:
+        """Base controls report no violations (ref: `traffic_controls.py:138`)."""
+        return jnp.zeros(agent_state.shape[:2], dtype=bool)
+
+
+class TrafficLightControl(BaseTrafficControl):
+    """
+    Traffic lights; violation = red light and substantial bounding-box
+    overlap with the stopline (ref: `traffic_controls.py:152-178`).
+    """
+    violation_rear_factor = 0.1
+
+    @classmethod
+    def _default_allowed_states(cls) -> List[str]:
+        return ['red', 'yellow', 'green']
+
+    def compute_violation(self, agent_state: jnp.ndarray) -> jnp.ndarray:
+        return red_light_violations(
+            agent_state, self.corners, self.state,
+            red_index=self.allowed_states.index('red'),
+            rear_factor=self.violation_rear_factor)
+
+
+class YieldControl(BaseTrafficControl):
+    """Yield sign; violations not computed (ref: `traffic_controls.py:181`)."""
+
+
+class StopSignControl(BaseTrafficControl):
+    """Stop sign; violations not computed (ref: `traffic_controls.py:189`)."""
