@@ -1,0 +1,188 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchdrivesim_tpu.ops.grids import Grid2D
+from torchdrivesim_tpu.ops.rasterize import (
+    bake_background_texture, camera_rows_cols, rasterize_hard, rasterize_soft,
+    sample_background,
+)
+
+
+def numpy_reference_raster(verts, faces, attrs, res, background):
+    """Brute-force per-pixel rasterizer: min-z face covering each pixel."""
+    out = np.array(background, copy=True)
+    v = np.asarray(verts)
+    f = np.asarray(faces)
+    a = np.asarray(attrs)
+    for b in range(v.shape[0]):
+        for row in range(res):
+            for col in range(res):
+                p = np.array([row + 0.5, col + 0.5])
+                best_z = np.inf
+                for fi in range(f.shape[1]):
+                    tri = v[b, f[b, fi], :2]
+                    z = v[b, f[b, fi][0], 2]
+                    e = []
+                    for k in range(3):
+                        p1, p2 = tri[k], tri[(k + 1) % 3]
+                        e.append((p2[0] - p1[0]) * (p[1] - p1[1])
+                                 - (p2[1] - p1[1]) * (p[0] - p1[0]))
+                    area = abs(np.cross(tri[1] - tri[0], tri[2] - tri[0]))
+                    inside = (all(x >= 0 for x in e) or all(x <= 0 for x in e)) \
+                        and area > 1e-9
+                    if inside and z < best_z:
+                        best_z = z
+                        out[b, row, col] = a[b, f[b, fi][0]]
+    return out
+
+
+def test_hard_matches_numpy_reference():
+    rng = np.random.RandomState(0)
+    res = 16
+    b, n_tri = 2, 5
+    verts = np.concatenate([
+        rng.uniform(-4, 20, (b, n_tri * 3, 2)),
+        rng.uniform(1, 10, (b, n_tri * 3, 1)),
+    ], axis=-1).astype(np.float32)
+    # same z for all verts of a face (the scene invariant)
+    for fi in range(n_tri):
+        verts[:, fi * 3:(fi + 1) * 3, 2] = verts[:, fi * 3:fi * 3 + 1, 2]
+    faces = np.tile(np.arange(n_tri * 3, dtype=np.int32).reshape(1, n_tri, 3), (b, 1, 1))
+    attrs = np.repeat(rng.uniform(0, 1, (b, n_tri, 1, 3)), 3, axis=2).reshape(b, n_tri * 3, 3).astype(np.float32)
+    background = np.zeros((b, res, res, 3), np.float32)
+
+    got = np.asarray(rasterize_hard(jnp.asarray(verts), jnp.asarray(faces),
+                                    jnp.asarray(attrs), res,
+                                    jnp.asarray(background), face_chunk=2))
+    want = numpy_reference_raster(verts, faces, attrs, res, background)
+    # pixels on exact edges may differ; demand 99% agreement
+    agree = np.isclose(got, want, atol=1e-5).all(axis=-1).mean()
+    assert agree > 0.99, f"only {agree:.3f} of pixels agree"
+
+
+def test_z_priority_lower_on_top():
+    res = 8
+    big = np.asarray([[[-10, -10], [20, -10], [5, 20]]], np.float32)
+    verts = np.concatenate([
+        np.concatenate([big[0], big[0]], axis=0)[None],
+        np.asarray([[[5.], [5.], [5.], [2.], [2.], [2.]]], np.float32),
+    ], axis=-1)
+    faces = np.asarray([[[0, 1, 2], [3, 4, 5]]], np.int32)
+    attrs = np.asarray([[[1, 0, 0]] * 3 + [[0, 1, 0]] * 3], np.float32)
+    img = np.asarray(rasterize_hard(jnp.asarray(verts), jnp.asarray(faces),
+                                    jnp.asarray(attrs), res,
+                                    jnp.zeros((1, res, res, 3))))
+    # the z=2 (green) face must win everywhere it covers
+    covered = img.sum(-1) > 0
+    assert covered.any()
+    np.testing.assert_allclose(img[covered], np.tile([0., 1., 0.], (int(covered.sum()), 1)), atol=1e-6)
+
+
+def test_degenerate_masked_faces_paint_nothing():
+    res = 8
+    verts = jnp.asarray([[[2., 2., 5.], [6., 2., 5.], [4., 6., 5.]]])
+    faces = jnp.asarray([[[0, 0, 0]]], dtype=jnp.int32)  # masked (zeroed) face
+    attrs = jnp.ones((1, 3, 3))
+    img = np.asarray(rasterize_hard(verts, faces, attrs, res,
+                                    jnp.zeros((1, res, res, 3))))
+    np.testing.assert_allclose(img, 0.0)
+
+
+def test_soft_approximates_hard_in_interior():
+    res = 32
+    verts = jnp.asarray([[[4., 4., 5.], [28., 4., 5.], [16., 28., 5.]]])
+    faces = jnp.asarray([[[0, 1, 2]]], dtype=jnp.int32)
+    attrs = jnp.ones((1, 3, 3)) * jnp.asarray([1.0, 0.5, 0.0])
+    bg = jnp.zeros((1, res, res, 3))
+    hard = np.asarray(rasterize_hard(verts, faces, attrs, res, bg))
+    soft = np.asarray(rasterize_soft(verts, faces, attrs, res, bg, sigma=0.3))
+    interior = hard[..., 0] == 1.0
+    diff = np.abs(hard - soft)[interior]
+    assert np.median(diff) < 0.05
+
+
+def test_soft_gradient_flows_to_vertices():
+    res = 16
+    faces = jnp.asarray([[[0, 1, 2]]], dtype=jnp.int32)
+    attrs = jnp.ones((1, 3, 3))
+    bg = jnp.zeros((1, res, res, 3))
+
+    def brightness(shift):
+        verts = jnp.asarray([[[4., 4., 5.], [12., 4., 5.], [8., 12., 5.]]])
+        verts = verts.at[..., 0].add(shift)
+        return jnp.sum(rasterize_soft(verts, faces, attrs, res, bg))
+
+    g = jax.grad(brightness)(jnp.asarray(0.0))
+    assert np.isfinite(float(g))
+    eps = 1e-2
+    fd = (brightness(jnp.asarray(eps)) - brightness(jnp.asarray(-eps))) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=0.05, atol=1e-3)
+
+
+def test_camera_rows_cols_orientation():
+    # camera at origin facing +x: a point ahead must land in the upper half
+    cam_xy = jnp.zeros((1, 2))
+    cam_sc = jnp.asarray([[0.0, 1.0]])  # sin=0, cos=1 -> psi=0
+    res = 64
+    scale = 2.0 / 35
+    ahead = jnp.asarray([[[10.0, 0.0]]])
+    rc = np.asarray(camera_rows_cols(ahead, cam_xy, cam_sc, scale, res))[0, 0]
+    assert rc[0] < res / 2  # smaller row = up
+    np.testing.assert_allclose(rc[1], res / 2, atol=1e-5)
+    left = jnp.asarray([[[0.0, 10.0]]])
+    rc_left = np.asarray(camera_rows_cols(left, cam_xy, cam_sc, scale, res))[0, 0]
+    assert rc_left[1] < res / 2  # left of agent = left in image
+    # left-handed flips columns
+    rc_lh = np.asarray(camera_rows_cols(left, cam_xy, cam_sc, scale, res,
+                                        left_handed=True))[0, 0]
+    assert rc_lh[1] > res / 2
+
+
+def test_bake_and_sample_roundtrip():
+    # a red 10x10 square at the origin on a gray background
+    verts = jnp.asarray([[0., 0., 5.], [10., 0., 5.], [10., 10., 5.], [0., 10., 5.]])
+    faces = jnp.asarray([[0, 1, 2], [0, 2, 3]], dtype=jnp.int32)
+    attrs = jnp.ones((4, 3)) * jnp.asarray([1.0, 0.0, 0.0])
+    texture = bake_background_texture(verts, faces, attrs,
+                                      background_color=jnp.asarray([0.2, 0.2, 0.2]),
+                                      pixels_per_meter=4.0, margin=8.0)
+    assert texture.data.ndim == 3
+    # camera centered on the square, facing +x, fov 20 m
+    cam_xy = jnp.asarray([[5.0, 5.0]])
+    cam_sc = jnp.asarray([[0.0, 1.0]])
+    img = np.asarray(sample_background(texture, cam_xy, cam_sc, 2.0 / 20, 32,
+                                       jnp.asarray([0., 0., 0.])))
+    # center pixel is on the square -> red
+    np.testing.assert_allclose(img[0, 16, 16], [1.0, 0.0, 0.0], atol=0.05)
+    # corner of the image is off the square (distance > 7m) -> gray
+    np.testing.assert_allclose(img[0, 0, 0], [0.2, 0.2, 0.2], atol=0.05)
+    # forward direction: the square spans x in [0,10]; pixels looking ahead
+    # (row 0 = x=15) are off the square
+    assert img[0, 0, 16, 0] < 0.9
+
+
+def test_sample_background_gradient_wrt_camera():
+    verts = jnp.asarray([[0., 0., 5.], [10., 0., 5.], [10., 10., 5.], [0., 10., 5.]])
+    faces = jnp.asarray([[0, 1, 2], [0, 2, 3]], dtype=jnp.int32)
+    attrs = jnp.ones((4, 3))
+    # coarse texture cells (2 m) so several image sample points fall inside
+    # the bilinear transition band at the square's edge -- with fine cells
+    # the gradient is zero almost everywhere (legitimate aliasing)
+    texture = bake_background_texture(verts, faces, attrs,
+                                      background_color=jnp.zeros(3),
+                                      pixels_per_meter=0.5, margin=8.0)
+
+    def f(x):
+        cam_xy = jnp.stack([x, jnp.asarray(5.0)])[None]
+        cam_sc = jnp.asarray([[0.0, 1.0]])
+        img = sample_background(texture, cam_xy, cam_sc, 2.0 / 20, 32,
+                                jnp.zeros(3))
+        return jnp.mean(img)
+
+    g = jax.grad(f)(jnp.asarray(12.0))
+    assert np.isfinite(float(g)) and abs(float(g)) > 1e-4
+    eps = 0.05
+    fd = (f(jnp.asarray(12.0 + eps)) - f(jnp.asarray(12.0 - eps))) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=0.2)

@@ -1,0 +1,289 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchdrivesim_tpu.kinematic as K
+from torchdrivesim_tpu.goals import WaypointGoal
+from torchdrivesim_tpu.lanelet2 import road_mesh_from_lanelet_map
+from torchdrivesim_tpu.mesh import BirdviewMesh
+from torchdrivesim_tpu.rendering import DummyRendererConfig, JaxRendererConfig
+from torchdrivesim_tpu.simulator import (
+    CollisionMetric, CompoundNPCController, NPCController, ReplayController,
+    Simulator, SimulatorState, SpawnController, TorchDriveConfig,
+)
+from torchdrivesim_tpu.traffic_controls import TrafficLightControl
+from torchdrivesim_tpu.utils import Resolution
+
+from tests.test_lanelet2_and_map import _straight_lanelet_map, bake_map_grids_with
+
+B, A = 2, 2
+
+
+def _build_simulator(collision_metric=CollisionMetric.discs, renderer='jax',
+                     with_npcs=False, with_grids=False):
+    m = _straight_lanelet_map()
+    road = BirdviewMesh.set_properties(road_mesh_from_lanelet_map(m), 'road')
+    road = BirdviewMesh.collate([road] * B)
+    kin = K.KinematicBicycle(dt=0.1)
+    kin.set_params(lr=jnp.full((B, A), 1.0))
+    kin.set_state(jnp.asarray([[[5., 0., 0., 2.], [15., 0.5, 0., 3.]]] * B))
+    cfg = TorchDriveConfig(collision_metric=collision_metric)
+    cfg.renderer = JaxRendererConfig() if renderer == 'jax' else DummyRendererConfig()
+    controls = {'traffic_light': TrafficLightControl(
+        jnp.asarray([[[30., 0., 1., 4., 0.]]] * B),
+        replay_states=jnp.asarray([[[0, 2, 2]]] * B))}
+    waypoints = jnp.asarray([[
+        [[[10., 0.]], [[20., 0.]]],
+        [[[25., 0.5]], [[40., 0.5]]],
+    ]] * B)  # B x A x N=2 x M=1 x 2
+    goals = WaypointGoal(waypoints)
+    npc = None
+    if with_npcs:
+        npc_states = jnp.tile(jnp.asarray([[[35., -0.5, np.pi, 1.]]]), (B, 1, 1))
+        npc = NPCController(npc_size=jnp.full((B, 1, 2), 2.0),
+                            npc_state=npc_states)
+    grids = bake_map_grids_with(_FakeCfg(road[jnp.asarray([0])]), m) if with_grids else None
+    sim = Simulator(road_mesh=road, kinematic_model=kin,
+                    agent_size=jnp.asarray([[[4.0, 2.0], [4.5, 2.1]]] * B),
+                    initial_present_mask=jnp.ones((B, A), dtype=bool),
+                    cfg=cfg, lanelet_map=[m] * B, traffic_controls=controls,
+                    waypoint_goals=goals, npc_controller=npc,
+                    map_grids=grids)
+    return sim
+
+
+class _FakeCfg:
+    def __init__(self, mesh):
+        self.road_mesh = mesh
+
+
+class TestSimulator:
+    def test_construction_and_getters(self):
+        sim = _build_simulator(with_npcs=True)
+        assert sim.batch_size == B and sim.agent_count == A and sim.npc_count == 1
+        assert sim.get_state().shape == (B, A, 4)
+        assert sim.get_all_agent_state().shape == (B, A + 1, 4)
+        assert sim.get_all_agent_size().shape == (B, A + 1, 2)
+        assert sim.get_all_agent_present_mask().shape == (B, A + 1)
+        assert sim.get_all_agents_absolute().shape == (B, A + 1, 6)
+        rel = sim.get_all_agents_relative()
+        assert rel.shape == (B, A, A, 6)  # A+1 entities minus self
+
+    def test_step_advances_state_and_time(self):
+        sim = _build_simulator()
+        x0 = np.asarray(sim.get_state())[..., 0].copy()
+        action = jnp.zeros((B, A, 2))
+        sim.step(action)
+        assert sim.internal_time == 1
+        x1 = np.asarray(sim.get_state())[..., 0]
+        assert np.all(x1 > x0)  # agents have speed, so they move forward
+
+    def test_traffic_light_replay_advances(self):
+        sim = _build_simulator()
+        assert int(sim.get_traffic_light_state()[0, 0]) == 0
+        sim.step(jnp.zeros((B, A, 2)))
+        assert int(sim.get_traffic_light_state()[0, 0]) == 2
+        sim.step(jnp.zeros((B, A, 2)))
+        sim.step(jnp.zeros((B, A, 2)))  # past replay: hold
+        assert int(sim.get_traffic_light_state()[0, 0]) == 2
+
+    def test_waypoints_advance(self):
+        sim = _build_simulator()
+        # agent 0 at x=5 moving at 2 m/s toward waypoint at x=10
+        for _ in range(30):
+            sim.step(jnp.zeros((B, A, 2)))
+        assert int(sim.get_waypoints_state()[0, 0, 0]) == 1
+
+    def test_set_state_partial_and_mask(self):
+        sim = _build_simulator()
+        new_xy_psi = jnp.zeros((B, A, 3))
+        sim.set_state(new_xy_psi, mask=jnp.asarray([[True, False]] * B))
+        s = np.asarray(sim.get_state())
+        np.testing.assert_allclose(s[0, 0, :3], 0.0)
+        assert s[0, 0, 3] == 2.0   # speed preserved from previous state
+        assert s[0, 1, 0] == 15.0  # masked agent untouched
+
+    def test_fit_action_roundtrip(self):
+        sim = _build_simulator()
+        target = sim.get_state() + jnp.asarray([0.3, 0.0, 0.0, 0.0])
+        action = sim.fit_action(target)
+        sim.step(action)
+        np.testing.assert_allclose(np.asarray(sim.get_state())[..., 0],
+                                   np.asarray(target)[..., 0], atol=1e-4)
+
+    def test_compute_offroad(self):
+        sim = _build_simulator()
+        off = np.asarray(sim.compute_offroad())
+        assert off.shape == (B, A)
+        assert np.all(off >= 0)
+        # both agents are on the road
+        np.testing.assert_allclose(off, 0.0, atol=1e-3)
+        sim.set_state(jnp.asarray([[[5., 30., 0.], [15., 0.5, 0.]]] * B))
+        off2 = np.asarray(sim.compute_offroad())
+        assert off2[0, 0] > 100  # far off the road
+
+    def test_compute_offroad_with_grids(self):
+        sim = _build_simulator(with_grids=True)
+        off = np.asarray(sim.compute_offroad())
+        np.testing.assert_allclose(off, 0.0, atol=1e-2)
+
+    def test_compute_wrong_way(self):
+        sim = _build_simulator()
+        ww = np.asarray(sim.compute_wrong_way())
+        np.testing.assert_allclose(ww, 0.0, atol=1e-5)
+        # turn agent 0 against the lane
+        sim.set_state(jnp.asarray([[[5., 0., np.pi], [15., 0.5, 0.]]] * B))
+        ww2 = np.asarray(sim.compute_wrong_way())
+        assert ww2[0, 0] > 0.9
+        np.testing.assert_allclose(ww2[0, 1], 0.0, atol=1e-5)
+
+    def test_compute_wrong_way_with_grids(self):
+        sim = _build_simulator(with_grids=True)
+        sim.set_state(jnp.asarray([[[5., 0., np.pi], [15., 0.5, 0.]]] * B))
+        ww = np.asarray(sim.compute_wrong_way())
+        assert ww[0, 0] > 0.9 and abs(ww[0, 1]) < 1e-5
+
+    @pytest.mark.parametrize('metric', [CollisionMetric.discs, CollisionMetric.iou,
+                                        CollisionMetric.nograd,
+                                        CollisionMetric.nograd_pytorch3d])
+    def test_compute_collision(self, metric):
+        sim = _build_simulator(collision_metric=metric)
+        c = np.asarray(sim.compute_collision())
+        assert c.shape == (B, A)
+        np.testing.assert_allclose(c, 0.0, atol=1e-5)  # agents 10 m apart
+        # overlap the agents
+        sim.set_state(jnp.asarray([[[5., 0., 0.], [5.5, 0., 0.]]] * B))
+        c2 = np.asarray(sim.compute_collision())
+        assert np.all(c2 > 0)
+
+    def test_collision_includes_npcs(self):
+        sim = _build_simulator(with_npcs=True)
+        sim.set_state(jnp.asarray([[[35., -0.5, 0.], [15., 0.5, 0.]]] * B))
+        c = np.asarray(sim.compute_collision())
+        assert c[0, 0] > 0  # agent 0 on top of the NPC
+        assert c[0, 1] == 0
+
+    def test_traffic_light_violation(self):
+        sim = _build_simulator()
+        # light is red initially (state 0); drive agent 0's REAR onto the
+        # stopline (violation = the rear 10% of the box overlaps the line,
+        # i.e. the vehicle has substantially crossed)
+        sim.set_state(jnp.asarray([[[32., 0., 0.], [15., 0.5, 0.]]] * B))
+        v = np.asarray(sim.compute_traffic_lights_violations())
+        assert v[0, 0] and not v[0, 1]
+        sim.step(jnp.zeros((B, A, 2)))  # light turns green
+        v2 = np.asarray(sim.compute_traffic_lights_violations())
+        assert not v2[0, 0]
+
+    def test_render_egocentric_shapes(self):
+        sim = _build_simulator()
+        img = sim.render_egocentric(res=Resolution(32, 32), fov=40)
+        assert img.shape == (B, A, 3, 32, 32)
+        arr = np.asarray(img)
+        assert arr.min() >= 0 and arr.max() <= 255
+        assert arr.max() > 0  # road and agents visible
+
+    def test_render_with_dummy_backend(self):
+        sim = _build_simulator(renderer='dummy')
+        img = sim.render_egocentric(res=Resolution(16, 16))
+        np.testing.assert_allclose(np.asarray(img), 0.0)
+
+    def test_extend_and_select(self):
+        sim = _build_simulator(with_npcs=True)
+        sim2 = sim.extend(2, in_place=False)
+        assert sim2.batch_size == 2 * B
+        assert sim2.get_state().shape == (2 * B, A, 4)
+        assert sim2.get_npc_state().shape == (2 * B, 1, 4)
+        sim3 = sim2.select_batch_elements(jnp.asarray([0, 3]), in_place=False)
+        assert sim3.batch_size == 2
+        sim3.step(jnp.zeros((2, A, 2)))
+
+    def test_copy_independent(self):
+        sim = _build_simulator()
+        other = sim.copy()
+        sim.step(jnp.zeros((B, A, 2)))
+        assert other.internal_time == 0
+        assert sim.internal_time == 1
+        assert float(other.get_state()[0, 0, 0]) != float(sim.get_state()[0, 0, 0])
+
+    def test_functional_rollout_under_scan_with_grad(self):
+        sim = _build_simulator(with_grids=True)
+        state0 = sim.state
+
+        def rollout(actions):
+            def body(s, a):
+                s = sim.functional_step(s, a)
+                return s, s.agent_state
+            final, traj = jax.lax.scan(body, state0, actions)
+            from torchdrivesim_tpu.map_grids import offroad_loss_from_grid
+            off = offroad_loss_from_grid(sim.map_grids, final.agent_state,
+                                         sim.agent_size)
+            return jnp.sum(final.agent_state[..., :2] ** 2) + jnp.sum(off)
+
+        actions = jnp.zeros((10, B, A, 2))
+        f = jax.jit(rollout)
+        val = f(actions)
+        g = jax.grad(rollout)(actions)
+        assert np.isfinite(float(val))
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_noisy_observations(self):
+        from torchdrivesim_tpu.observation_noise import (
+            StandardSensingObservationNoise, StandardSensingObservationNoiseConfig)
+        sim = _build_simulator(with_npcs=True)
+        sim.observation_noise_model = StandardSensingObservationNoise(
+            StandardSensingObservationNoiseConfig())
+        noisy = sim.get_noisy_state()
+        assert noisy.shape == (B, A, A + 1, 4)
+        mask = sim.get_noisy_present_mask()
+        assert mask.shape == (B, A, A + 1)
+        rel = sim.get_noisy_all_agents_relative()
+        assert rel.shape == (B, A, A, 6)
+
+
+class TestSpawnController:
+    def test_despawn_outside_boundary(self):
+        boundary = jnp.asarray([[[0., -5.], [20., -5.], [20., 5.], [0., 5.]]])
+        sc = SpawnController(exit_boundary=boundary)
+        state = jnp.asarray([[[10., 0., 0., 1.], [30., 0., 0., 1.]]])
+        mask = jnp.ones((1, 2), dtype=bool)
+        s, m = sc.apply(state, mask, 0)
+        assert np.asarray(m).tolist() == [[True, False]]
+
+    def test_timed_spawn(self):
+        spawn_states = jnp.asarray([[[[1., 1., 0., 0.], [2., 2., 0., 0.]]]])  # B,A,T=2,4
+        spawn_masks = jnp.asarray([[[False, True]]])
+        sc = SpawnController(spawn_states=spawn_states, spawn_masks=spawn_masks)
+        state = jnp.zeros((1, 1, 4))
+        mask = jnp.zeros((1, 1), dtype=bool)
+        s0, m0 = sc.apply(state, mask, 0)
+        assert not bool(m0[0, 0])
+        s1, m1 = sc.apply(state, mask, 1)
+        assert bool(m1[0, 0])
+        np.testing.assert_allclose(np.asarray(s1)[0, 0, :2], [2., 2.])
+
+
+class TestReplayController:
+    def test_replay_indexing_wraps(self):
+        states = jnp.asarray([[[[0., 0., 0., 0.], [1., 0., 0., 0.], [2., 0., 0., 0.]]]])
+        rc = ReplayController(npc_size=jnp.full((1, 1, 2), 2.0), npc_states=states)
+        s, m = rc.advance(states[..., 0, :], jnp.ones((1, 1), bool), 1)
+        assert float(s[0, 0, 0]) == 1.0
+        s, m = rc.advance(states[..., 0, :], jnp.ones((1, 1), bool), 3)  # wraps
+        assert float(s[0, 0, 0]) == 0.0
+
+
+class TestCompoundNPCController:
+    def test_routing(self):
+        static_states = jnp.asarray([[[5., 5., 0., 0.], [7., 7., 0., 0.]]])
+        replay_states = jnp.asarray([[[[0., 0., 0., 0.], [1., 1., 0., 0.]],
+                                      [[9., 9., 0., 0.], [8., 8., 0., 0.]]]])
+        c1 = NPCController(jnp.full((1, 2, 2), 2.0), static_states)
+        c2 = ReplayController(jnp.full((1, 2, 2), 2.0), replay_states)
+        compound = CompoundNPCController([c1, c2], jnp.asarray([[0, 1]]))
+        s, m = compound.advance(compound.initial_npc_state,
+                                compound.initial_npc_present_mask, 1)
+        np.testing.assert_allclose(np.asarray(s)[0, 0, :2], [5., 5.])  # static
+        np.testing.assert_allclose(np.asarray(s)[0, 1, :2], [8., 8.])  # replayed

@@ -1,0 +1,200 @@
+"""
+Infraction metrics: offroad, wrong-way, collisions, traffic-light violations.
+
+Composes the batched ops (`ops/`, `map_grids`) into the metric functions the
+simulator exposes, with the same semantics as the reference
+(`torchdrivesim/infractions.py`) but no per-agent Python loops, no CPU
+round-trips, and no native-library calls in the hot path:
+
+* offroad: exact point-to-triangle path for parity/tests, baked
+  distance-field path for the jitted hot loop;
+* wrong-way: host lanelet-query path for parity, baked direction-field path
+  for the hot loop;
+* collisions: all four reference metrics (`simulator.py:27-34`), with the
+  exact IoU computed on-device by the polygon-clipping pipeline instead of
+  shapely/pytorch3d.
+"""
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchdrivesim_tpu.mesh import BaseMesh
+from torchdrivesim_tpu.ops.box import (
+    box2corners, iou_differentiable as _iou_pairwise, iou_non_differentiable,
+)
+from torchdrivesim_tpu.ops.collision import (
+    bbox2discs, collision_detection_with_discs, collision_matrix_with_discs,
+)
+from torchdrivesim_tpu.ops.point_mesh import point_to_triangles_distance_sq_chunked
+from torchdrivesim_tpu.utils import normalize_angle
+
+LANELET_TAGS_TO_EXCLUDE = ['parking']
+
+
+# ----------------------------------------------------------------------------
+# Offroad
+# ----------------------------------------------------------------------------
+
+def offroad_infraction_loss(agent_states: jnp.ndarray, lenwid: jnp.ndarray,
+                            driving_surface_mesh: BaseMesh,
+                            threshold: float = 0) -> jnp.ndarray:
+    """
+    Exact offroad loss (semantics of `infractions.py:176-229`): per agent,
+    the sum over its 4 box corners of the thresholded SQUARED distance to
+    the driving-surface mesh.
+
+    Args:
+        agent_states: BxAx4 (x, y, psi, v).
+        lenwid: BxAx2 or Bx2 agent dimensions.
+        driving_surface_mesh: batch of B meshes.
+    Returns:
+        BxA losses.
+    """
+    batch_size, num_agents = agent_states.shape[:2]
+    if num_agents == 0 or driving_surface_mesh.faces_count == 0:
+        return jnp.zeros_like(agent_states[..., 0])
+    if lenwid.ndim == 2:
+        lenwid = jnp.broadcast_to(lenwid[:, None], (batch_size, num_agents, 2))
+    boxes = jnp.concatenate(
+        [agent_states[..., :2], lenwid, agent_states[..., 2:3]], axis=-1)
+    corners = box2corners(boxes).reshape(batch_size, num_agents * 4, 2)
+    verts = driving_surface_mesh.verts[..., :2]
+    tris = jnp.take_along_axis(
+        verts[:, :, None, :],
+        driving_surface_mesh.faces.astype(jnp.int32)[..., None], axis=1)
+    d2 = point_to_triangles_distance_sq_chunked(corners, tris)  # B x A*4
+    d2 = jnp.where(d2 > threshold, d2, 0.0)
+    return d2.reshape(batch_size, num_agents, 4).sum(axis=-1)
+
+
+# ----------------------------------------------------------------------------
+# Wrong-way
+# ----------------------------------------------------------------------------
+
+def lanelet_orientation_loss(lanelet_maps: List, agents_state: jnp.ndarray,
+                             recenter_offset: Optional[jnp.ndarray] = None,
+                             direction_angle_threshold: float = np.pi / 2,
+                             lanelet_dist_tolerance: float = 1.0) -> jnp.ndarray:
+    """
+    Host-side wrong-way loss using per-agent lanelet queries (exact
+    semantics of `infractions.py:232-304`). Use the grid path
+    (`map_grids.wrong_way_loss_from_grid`) inside jitted loops.
+    """
+    from torchdrivesim_tpu.lanelet2 import LaneletError, find_lanelet_directions
+    assert direction_angle_threshold >= np.pi / 2, \
+        'direction_angle_threshold smaller than pi / 2 will produce false positives'
+    states = np.asarray(agents_state)
+    offsets = np.asarray(recenter_offset) if recenter_offset is not None else None
+    batch, agents = states.shape[:2]
+    out = np.zeros((batch, agents), dtype=np.float32)
+    for b in range(batch):
+        lanelet_map = lanelet_maps[b]
+        if lanelet_map is None:
+            continue
+        for a in range(agents):
+            x, y, psi = states[b, a, 0], states[b, a, 1], states[b, a, 2]
+            if offsets is not None:
+                x = x + offsets[b, 0]
+                y = y + offsets[b, 1]
+            try:
+                directions = find_lanelet_directions(
+                    lanelet_map, float(x), float(y),
+                    tags_to_exclude=LANELET_TAGS_TO_EXCLUDE,
+                    lanelet_dist_tolerance=lanelet_dist_tolerance)
+            except LaneletError:
+                continue
+            if not directions:
+                continue
+            deltas = normalize_angle(np.asarray(directions) - psi)
+            losses = -np.cos(deltas) * (np.abs(deltas) > direction_angle_threshold)
+            out[b, a] = losses.min()
+    return jnp.asarray(out)
+
+
+# ----------------------------------------------------------------------------
+# Collisions
+# ----------------------------------------------------------------------------
+
+def iou_differentiable(box1: jnp.ndarray, box2: jnp.ndarray,
+                       fast: bool = True) -> jnp.ndarray:
+    """Differentiable oriented-box IoU (ref: `infractions.py:307-324`)."""
+    del fast  # single implementation; already the fast shoelace pipeline
+    return _iou_pairwise(box1, box2)
+
+
+def compute_agent_collisions_metric(all_rects, collision_masks, present_masks):
+    """
+    Exact (non-differentiable) collision counts per agent
+    (semantics of `infractions.py:352-375`), computed on-device via the
+    polygon-clipping IoU rather than shapely polygons on CPU.
+
+    Args:
+        all_rects: BxAx5 boxes; collision_masks / present_masks: BxA bools.
+    Returns:
+        BxA collision counts.
+    """
+    boxes = jnp.asarray(all_rects)
+    collision_masks = jnp.asarray(collision_masks)
+    present_masks = jnp.asarray(present_masks)
+    iou = iou_non_differentiable(boxes)                   # BxAxA
+    iou = jnp.nan_to_num(iou, nan=0.0)
+    intersects = (iou > 0.0) & (iou <= 1.0)
+    a = boxes.shape[-2]
+    eye = jnp.eye(a, dtype=bool)
+    pair_mask = (present_masks[..., None, :] & present_masks[..., :, None]
+                 & collision_masks[..., None] & ~eye)
+    counts = jnp.sum((intersects & pair_mask), axis=-1).astype(boxes.dtype)
+    return counts * present_masks
+
+
+def compute_agent_collisions_metric_pytorch3d(all_rects: jnp.ndarray,
+                                              masks: jnp.ndarray) -> jnp.ndarray:
+    """
+    Collision counts matching the reference's pytorch3d metric
+    (`infractions.py:327-349`): pairwise exact IoU > 0 summed over the
+    transposed mask with the diagonal removed.
+    """
+    iou = iou_non_differentiable(all_rects)
+    iou = jnp.nan_to_num(iou, nan=0.0)
+    intersects = ((iou > 0.0) & (iou <= 1.0)).astype(all_rects.dtype)
+    a = all_rects.shape[-2]
+    eye = jnp.eye(a, dtype=all_rects.dtype)
+    masks_t = jnp.broadcast_to(masks[..., None, :], iou.shape).astype(all_rects.dtype)
+    masks_t = masks_t * (1 - eye)
+    masks_t = jnp.swapaxes(masks_t, -1, -2)
+    return jnp.sum(intersects * masks_t, axis=-1)
+
+
+def compute_collision_matrix(all_boxes: jnp.ndarray, mask: jnp.ndarray,
+                             metric: str = 'discs') -> jnp.ndarray:
+    """
+    Differentiable per-agent collision values against all other agents in one
+    batched op -- the TPU replacement for the reference's per-agent loop
+    (`simulator.py:1186-1192`). Self-overlap is excluded via the diagonal
+    (equivalent to the reference's subtract-the-max at `simulator.py:1108`,
+    since self-overlap is always the maximum).
+
+    Args:
+        all_boxes: Bx(A+Npc)x5; mask: Bx(A+Npc) presence flags.
+        metric: 'discs' or 'iou'.
+    Returns:
+        Bx(A+Npc) summed collision values per agent.
+    """
+    boxes = jnp.nan_to_num(all_boxes, nan=0.0)
+    if metric == 'discs':
+        overlap = collision_matrix_with_discs(boxes)
+    elif metric == 'iou':
+        n = boxes.shape[-2]
+        b1 = jnp.broadcast_to(boxes[..., :, None, :], boxes.shape[:-2] + (n, n, 5))
+        b2 = jnp.broadcast_to(boxes[..., None, :, :], boxes.shape[:-2] + (n, n, 5))
+        overlap = _iou_pairwise(b1, b2)
+    else:
+        raise ValueError(f"Unrecognized collision metric: {metric}")
+    overlap = jnp.nan_to_num(overlap, nan=0.0)
+    n = boxes.shape[-2]
+    eye = jnp.eye(n, dtype=bool)
+    overlap = jnp.where(eye, 0.0, overlap)
+    overlap = overlap * mask[..., None, :].astype(overlap.dtype)
+    return jnp.sum(overlap, axis=-1)

@@ -421,9 +421,11 @@ class KinematicModel:
         return denormalize_action(self.model_id, action, self.params)
 
     def copy(self, other=None):
-        out = dataclasses.replace(self) if other is None else other
+        import copy as _copy
+        out = _copy.copy(self) if other is None else other
         out.state = self.state
         out.params = self.params
+        out.model_id = self.model_id
         return out
 
     def to(self, device=None):

@@ -1,0 +1,354 @@
+"""
+TPU triangle rasterization for bird's-eye-view rendering.
+
+Replaces the reference's three native rasterizer backends (pytorch3d CUDA,
+nvdiffrast GL/CUDA, OpenCV CPU loops -- `torchdrivesim/rendering/`) with
+XLA-native kernels designed around the structure of the workload:
+
+* the scene is 2D with per-category priority z (lower z on top,
+  `rendering/base.py:234-241`) and flat per-face colors;
+* the static map mesh is large (tens of thousands of faces) but constant, so
+  it is rasterized ONCE into a world-space texture and per-frame views are
+  differentiable bilinear samples of it (gradients flow to the camera pose);
+* dynamic content (agents, traffic lights, waypoints) is tens of faces per
+  camera and is rasterized per frame:
+  - ``rasterize_hard``: min-z reduction scanned over face chunks; every
+    chunk is elementwise math + reduction that XLA fuses, memory stays at
+    O(pixels);
+  - ``rasterize_soft``: differentiable painter's blend over z-sorted faces
+    with sigmoid edge coverage, for gradient flow to agent positions.
+
+Screen convention matches the reference cv2 backend after its axis swap
+(`rendering/cv2.py:53-67`): the camera's forward axis points UP in the
+image, its left axis points LEFT; ``left_handed`` mirrors columns.
+"""
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchdrivesim_tpu.ops.grids import Grid2D, bilinear_sample
+
+BIG_Z = 1e9
+DEGENERATE_AREA_EPS = 1e-9
+
+
+def camera_rows_cols(points_xy: jnp.ndarray, cam_xy: jnp.ndarray,
+                     cam_sc: jnp.ndarray, scale: float, res: int,
+                     left_handed: bool = False) -> jnp.ndarray:
+    """
+    World points -> continuous pixel coordinates (row, col) for orthographic
+    egocentric cameras.
+
+    Args:
+        points_xy: (B, N, 2) world points.
+        cam_xy: (B, 2); cam_sc: (B, 2) as (sin psi, cos psi).
+        scale: 2 / fov (meters -> clip units as in `rendering/base.py:149`).
+        res: image resolution (square).
+    Returns:
+        (B, N, 2) float (row, col).
+    """
+    d = points_xy - cam_xy[:, None]
+    s = cam_sc[:, None, 0]
+    c = cam_sc[:, None, 1]
+    forward = c * d[..., 0] + s * d[..., 1]   # along camera heading
+    left = -s * d[..., 0] + c * d[..., 1]     # to the camera's left
+    half = res / 2.0
+    px_per_m = scale * half
+    row = half - forward * px_per_m
+    if left_handed:
+        col = half + left * px_per_m
+    else:
+        col = half - left * px_per_m
+    return jnp.stack([row, col], axis=-1)
+
+
+def _face_arrays(verts: jnp.ndarray, faces: jnp.ndarray, attrs: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """
+    Gather per-face screen corners, priority z, and flat color.
+
+    Args:
+        verts: (B, V, 3) screen-space (row, col, z).
+        faces: (B, F, 3); attrs: (B, V, 3).
+    Returns:
+        (corners (B, F, 3, 2), z (B, F), color (B, F, 3)).
+    """
+    f = faces.astype(jnp.int32)
+    tri = jnp.take_along_axis(verts[:, :, None, :], f[..., None], axis=1)  # B,F,3,3
+    corners = tri[..., :2]
+    z = tri[..., 0, 2]
+    color = jnp.take_along_axis(attrs[:, :, None, :], f[..., :1, None], axis=1)[:, :, 0]
+    return corners, z, color
+
+
+def _edge_functions(corners: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
+    """
+    Signed edge functions of each face evaluated on the pixel grid.
+
+    Args:
+        corners: (B, F, 3, 2) screen corners (row, col).
+        px, py: (H, W) pixel center coordinates (row, col).
+    Returns:
+        (e (B, F, 3, H, W), area (B, F)).
+    """
+    nxt = [1, 2, 0]
+    a = corners
+    b = corners[..., nxt, :]
+    ex = b[..., 0] - a[..., 0]
+    ey = b[..., 1] - a[..., 1]
+    # e_k(p) = cross(b - a, p - a)
+    e = (ex[..., None, None] * (py[None, None, None] - a[..., 1][..., None, None])
+         - ey[..., None, None] * (px[None, None, None] - a[..., 0][..., None, None]))
+    area = (ex[..., 0] * (a[..., 2, 1] - a[..., 0, 1])
+            - ey[..., 0] * (a[..., 2, 0] - a[..., 0, 0]))
+    return e, area
+
+
+def _coverage_hard(corners: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
+    """Boolean coverage (B, F, H, W); degenerate faces cover nothing."""
+    e, area = _edge_functions(corners, px, py)
+    inside = jnp.all(e >= 0, axis=-3) | jnp.all(e <= 0, axis=-3)
+    ok = (jnp.abs(area) > DEGENERATE_AREA_EPS)[..., None, None]
+    return inside & ok
+
+
+def rasterize_hard(verts: jnp.ndarray, faces: jnp.ndarray, attrs: jnp.ndarray,
+                   res: int, background: jnp.ndarray,
+                   face_chunk: int = 16) -> jnp.ndarray:
+    """
+    Hard z-priority rasterization.
+
+    Args:
+        verts: (B, V, 3) screen-space vertices (row, col, priority z).
+        faces: (B, F, 3) triangle indices (masked faces may be all-zero).
+        attrs: (B, V, 3) vertex colors in [0, 1] (flat per face).
+        res: output resolution (square).
+        background: (B, H, W, 3) image composited under all faces.
+    Returns:
+        (B, H, W, 3) image in [0, 1].
+    """
+    b = verts.shape[0]
+    f_total = faces.shape[1]
+    if f_total == 0:
+        return background
+    corners, z, color = _face_arrays(verts, faces, attrs)
+    pad = (-f_total) % face_chunk
+    if pad:
+        corners = jnp.concatenate(
+            [corners, jnp.zeros((b, pad, 3, 2), corners.dtype)], axis=1)
+        z = jnp.concatenate([z, jnp.full((b, pad), BIG_Z, z.dtype)], axis=1)
+        color = jnp.concatenate([color, jnp.zeros((b, pad, 3), color.dtype)], axis=1)
+    n_chunks = corners.shape[1] // face_chunk
+    corners = jnp.moveaxis(
+        corners.reshape(b, n_chunks, face_chunk, 3, 2), 1, 0)
+    z = jnp.moveaxis(z.reshape(b, n_chunks, face_chunk), 1, 0)
+    color = jnp.moveaxis(color.reshape(b, n_chunks, face_chunk, 3), 1, 0)
+
+    coords = jnp.arange(res, dtype=verts.dtype) + 0.5
+    px = jnp.broadcast_to(coords[:, None], (res, res))  # row coordinate
+    py = jnp.broadcast_to(coords[None, :], (res, res))  # col coordinate
+
+    def body(carry, chunk):
+        best_z, best_color = carry
+        cc, cz, ccol = chunk
+        cover = _coverage_hard(cc, px, py)                       # B,Fc,H,W
+        zval = jnp.where(cover, cz[..., None, None], BIG_Z)      # B,Fc,H,W
+        cmin = jnp.min(zval, axis=1)                             # B,H,W
+        carg = jnp.argmin(zval, axis=1)                          # B,H,W
+        ccolor = jnp.take_along_axis(
+            ccol[:, :, None, None, :],
+            carg[:, None, :, :, None], axis=1)[:, 0]             # B,H,W,3
+        better = cmin < best_z
+        best_color = jnp.where(better[..., None], ccolor, best_color)
+        best_z = jnp.minimum(best_z, cmin)
+        return (best_z, best_color), None
+
+    init = (jnp.full((b, res, res), BIG_Z, verts.dtype), background)
+    (best_z, best_color), _ = jax.lax.scan(body, init, (corners, z, color))
+    return best_color
+
+
+def rasterize_soft(verts: jnp.ndarray, faces: jnp.ndarray, attrs: jnp.ndarray,
+                   res: int, background: jnp.ndarray, sigma: float = 0.5
+                   ) -> jnp.ndarray:
+    """
+    Differentiable painter's-algorithm rasterization: faces are blended
+    back-to-front (descending z) with sigmoid edge coverage, so gradients
+    flow from pixels to vertex positions. Plays the role of pytorch3d's
+    soft/sigmoid blending (`rendering/pytorch3d.py:27-44`).
+
+    Args:
+        sigma: edge softness in pixels.
+    Returns:
+        (B, H, W, 3) image in [0, 1].
+    """
+    b = verts.shape[0]
+    if faces.shape[1] == 0:
+        return background
+    corners, z, color = _face_arrays(verts, faces, attrs)
+    # back-to-front: sort by descending z (stop_gradient on ordering)
+    order = jnp.argsort(-jax.lax.stop_gradient(z), axis=1)
+    corners = jnp.take_along_axis(corners, order[..., None, None], axis=1)
+    color = jnp.take_along_axis(color, order[..., None], axis=1)
+    z = jnp.take_along_axis(z, order, axis=1)
+
+    coords = jnp.arange(res, dtype=verts.dtype) + 0.5
+    px = jnp.broadcast_to(coords[:, None], (res, res))
+    py = jnp.broadcast_to(coords[None, :], (res, res))
+
+    corners_s = jnp.moveaxis(corners, 1, 0)  # F,B,3,2
+    color_s = jnp.moveaxis(color, 1, 0)
+
+    def body(canvas, face):
+        cc, ccol = face                                  # B,3,2 / B,3
+        e, area = _edge_functions(cc[:, None], px, py)   # B,1,3,H,W
+        e = e[:, 0]
+        area = area[:, 0]
+        sign = jnp.sign(area)[..., None, None, None]
+        # normalize edge functions to pixel distances
+        nxt = [1, 2, 0]
+        elen = jnp.linalg.norm(cc[:, nxt] - cc, axis=-1)  # B,3
+        d = e * sign / (elen[..., None, None] + 1e-8)
+        w = jnp.prod(jax.nn.sigmoid(d / sigma), axis=1)   # B,H,W
+        ok = (jnp.abs(area) > DEGENERATE_AREA_EPS)[:, None, None]
+        w = jnp.where(ok, w, 0.0)
+        canvas = canvas * (1 - w[..., None]) + ccol[:, None, None, :] * w[..., None]
+        return canvas, None
+
+    canvas, _ = jax.lax.scan(body, background, (corners_s, color_s))
+    return canvas
+
+
+# ----------------------------------------------------------------------------
+# Static background: world-space baking + per-camera sampling
+# ----------------------------------------------------------------------------
+
+def bake_background_texture(verts: jnp.ndarray, faces: jnp.ndarray,
+                            attrs: jnp.ndarray, background_color: jnp.ndarray,
+                            pixels_per_meter: float = 4.0,
+                            margin: float = 20.0,
+                            face_chunk: int = 32,
+                            row_chunk: int = 512) -> Grid2D:
+    """
+    Rasterize a static mesh once into a world-anchored RGB texture.
+
+    Args:
+        verts: (V, 3) world (x, y, priority z); faces: (F, 3); attrs: (V, 3).
+        background_color: (3,) color outside all faces.
+    Returns:
+        Grid2D whose data[iy, ix] covers world point origin + (ix, iy)/ppm.
+    """
+    v = np.asarray(verts)
+    lo = v[:, :2].min(axis=0) - margin
+    hi = v[:, :2].max(axis=0) + margin
+    w = int(np.ceil((hi[0] - lo[0]) * pixels_per_meter)) + 1
+    h = int(np.ceil((hi[1] - lo[1]) * pixels_per_meter)) + 1
+    cell = 1.0 / pixels_per_meter
+
+    # screen space = texture space: row ~ y, col ~ x
+    sv = jnp.stack([
+        (verts[:, 1] - lo[1]) * pixels_per_meter,
+        (verts[:, 0] - lo[0]) * pixels_per_meter,
+        verts[:, 2],
+    ], axis=-1)[None]
+
+    bg_row = jnp.broadcast_to(jnp.asarray(background_color, jnp.float32),
+                              (1, w, 3))
+
+    # rasterize in horizontal strips to bound memory
+    rows = []
+    render = jax.jit(_bake_strip, static_argnames=('h0', 'strip_h', 'w', 'face_chunk'))
+    for r0 in range(0, h, row_chunk):
+        strip_h = min(row_chunk, h - r0)
+        strip = render(sv, faces[None], attrs[None],
+                       jnp.broadcast_to(bg_row[:, None], (1, strip_h, w, 3)),
+                       h0=r0, strip_h=strip_h, w=w, face_chunk=face_chunk)
+        rows.append(np.asarray(strip[0]))
+    data = np.concatenate(rows, axis=0)
+    return Grid2D(data=jnp.asarray(data),
+                  origin=jnp.asarray(lo, dtype=jnp.float32), cell_size=cell)
+
+
+def _bake_strip(sv, faces, attrs, background, *, h0, strip_h, w, face_chunk):
+    # shift rows so the strip starts at row 0
+    sv = sv.at[..., 0].add(-h0)
+    return _rasterize_hard_rect(sv, faces, attrs, strip_h, w, background,
+                                face_chunk=face_chunk)
+
+
+def _rasterize_hard_rect(verts, faces, attrs, height, width, background,
+                         face_chunk=16):
+    """rasterize_hard generalized to non-square outputs (used for baking)."""
+    b = verts.shape[0]
+    corners, z, color = _face_arrays(verts, faces, attrs)
+    f_total = corners.shape[1]
+    pad = (-f_total) % face_chunk
+    if pad:
+        corners = jnp.concatenate(
+            [corners, jnp.zeros((b, pad, 3, 2), corners.dtype)], axis=1)
+        z = jnp.concatenate([z, jnp.full((b, pad), BIG_Z, z.dtype)], axis=1)
+        color = jnp.concatenate([color, jnp.zeros((b, pad, 3), color.dtype)], axis=1)
+    n_chunks = corners.shape[1] // face_chunk
+    corners = jnp.moveaxis(corners.reshape(b, n_chunks, face_chunk, 3, 2), 1, 0)
+    z = jnp.moveaxis(z.reshape(b, n_chunks, face_chunk), 1, 0)
+    color = jnp.moveaxis(color.reshape(b, n_chunks, face_chunk, 3), 1, 0)
+
+    px = jnp.broadcast_to((jnp.arange(height, dtype=verts.dtype) + 0.5)[:, None],
+                          (height, width))
+    py = jnp.broadcast_to((jnp.arange(width, dtype=verts.dtype) + 0.5)[None, :],
+                          (height, width))
+
+    def body(carry, chunk):
+        best_z, best_color = carry
+        cc, cz, ccol = chunk
+        cover = _coverage_hard(cc, px, py)
+        zval = jnp.where(cover, cz[..., None, None], BIG_Z)
+        cmin = jnp.min(zval, axis=1)
+        carg = jnp.argmin(zval, axis=1)
+        ccolor = jnp.take_along_axis(
+            ccol[:, :, None, None, :], carg[:, None, :, :, None], axis=1)[:, 0]
+        better = cmin < best_z
+        best_color = jnp.where(better[..., None], ccolor, best_color)
+        best_z = jnp.minimum(best_z, cmin)
+        return (best_z, best_color), None
+
+    init = (jnp.full((b, height, width), BIG_Z, verts.dtype), background)
+    (_, best_color), _ = jax.lax.scan(body, init, (corners, z, color))
+    return best_color
+
+
+def sample_background(texture: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray,
+                      scale: float, res: int, background_color: jnp.ndarray,
+                      left_handed: bool = False) -> jnp.ndarray:
+    """
+    Per-camera view of the baked background texture: compute each output
+    pixel's world position (inverse of :func:`camera_rows_cols`) and sample
+    bilinearly. Differentiable w.r.t. the camera pose.
+
+    Returns:
+        (B, res, res, 3) image.
+    """
+    coords = jnp.arange(res, dtype=jnp.float32) + 0.5
+    half = res / 2.0
+    px_per_m = scale * half
+    row = coords[:, None]
+    col = coords[None, :]
+    forward = (half - row) / px_per_m                      # (res, res) broadcast
+    if left_handed:
+        left = (col - half) / px_per_m
+    else:
+        left = (half - col) / px_per_m
+    forward = jnp.broadcast_to(forward, (res, res))
+    left = jnp.broadcast_to(left, (res, res))
+    s = cam_sc[:, 0][:, None, None]
+    c = cam_sc[:, 1][:, None, None]
+    dx = c * forward - s * left
+    dy = s * forward + c * left
+    world = jnp.stack([dx + cam_xy[:, 0][:, None, None],
+                       dy + cam_xy[:, 1][:, None, None]], axis=-1)  # B,H,W,2
+    img = bilinear_sample(texture, world, fill_value=-1.0)
+    # out-of-texture pixels (negative sentinel) -> background color
+    bg = jnp.asarray(background_color, img.dtype)
+    return jnp.where(img < 0, bg, img)

@@ -1,0 +1,219 @@
+"""
+Renderer interfaces: configs, orthographic cameras, and the renderer ABC.
+
+Mirrors the reference's renderer layer (`torchdrivesim/rendering/base.py`),
+with the backend zoo (cv2/pytorch3d/nvdiffrast) collapsed into two TPU-side
+backends: the XLA rasterizer (``jax_renderer``) and a dummy black-image
+backend for benchmarking (`rendering/base.py:223-231`).
+
+Rendered images are float RGB in [0, 255], shaped (B*Nc)xCxHxW, matching the
+reference output convention (`rendering/pytorch3d.py:103`).
+"""
+from __future__ import annotations
+
+import abc
+import logging
+import pickle
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from torchdrivesim_tpu.mesh import RGBMesh
+from torchdrivesim_tpu.utils import Resolution
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class RendererConfig:
+    """Renderer behavior switches; subclass type selects the backend."""
+    backend: str = 'default'
+    render_agent_direction: bool = True
+    left_handed_coordinates: bool = False
+    highlight_ego_vehicle: bool = False
+    shift_mesh_by_camera_before_rendering: bool = True
+    device: Optional[str] = None
+
+
+@dataclass
+class DummyRendererConfig(RendererConfig):
+    backend: str = 'dummy'
+
+
+@dataclass
+class JaxRendererConfig(RendererConfig):
+    """For the XLA rasterizer backend."""
+    backend: str = 'jax'
+    differentiable: bool = False      #: soft (differentiable) vs hard coverage
+    soft_sigma: float = 0.5           #: edge softness in pixels (soft mode)
+    face_chunk: int = 16              #: faces per reduction step (hard mode)
+
+
+class Cameras:
+    """
+    Orthographic cameras: world -> view -> clip transforms with the exact
+    matrix conventions of the reference (`rendering/base.py:45-130`), kept
+    for API parity and for utilities that project points onto images.
+    """
+    def __init__(self, xy: jnp.ndarray, sc: jnp.ndarray, scale: float):
+        self.xy = xy
+        self.sc = sc
+        self.scale = scale
+        self.world_to_clip_transform = (
+            self.get_world_to_view_transform() @ self.get_view_to_proj_transform())
+
+    def get_camera_center(self) -> jnp.ndarray:
+        return self.xy
+
+    def get_world_to_view_transform(self) -> jnp.ndarray:
+        sin, cos = self.sc[..., 0], self.sc[..., 1]
+        b = self.xy.shape[0]
+        rot = jnp.zeros((b, 4, 4)).at[:, 2, 2].set(1.0).at[:, 3, 3].set(1.0)
+        rot = rot.at[:, 0, 0].set(cos).at[:, 0, 1].set(-sin)
+        rot = rot.at[:, 1, 0].set(sin).at[:, 1, 1].set(cos)
+        trans = jnp.broadcast_to(jnp.eye(4), (b, 4, 4))
+        trans = trans.at[:, 3, :2].set(-self.xy)
+        return trans @ rot
+
+    def get_view_to_proj_transform(self) -> jnp.ndarray:
+        zfar, znear = 100.0, 1.0
+        m = jnp.zeros((1, 4, 4))
+        m = m.at[:, 0, 0].set(-self.scale).at[:, 1, 1].set(-self.scale)
+        m = m.at[:, 3, 3].set(1.0)
+        m = m.at[:, 2, 2].set(1.0 / (zfar - znear))
+        m = m.at[:, 2, 3].set(-znear / (zfar - znear))
+        return jnp.swapaxes(m, 1, 2)
+
+    def project_world_to_clip_space(self, points: jnp.ndarray) -> jnp.ndarray:
+        ones = jnp.ones(points.shape[:-1] + (1,), points.dtype)
+        return jnp.concatenate([points, ones], axis=-1) @ self.world_to_clip_transform
+
+    def transform_points_screen(self, points: jnp.ndarray, res: Resolution) -> jnp.ndarray:
+        """World xy -> screen pixel coordinates (ref: `rendering/base.py:102`)."""
+        sin, cos = self.sc[..., 0:1], self.sc[..., 1:2]
+        d = points - self.xy[:, None]
+        x = cos[:, None, 0] * d[..., 0] + sin[:, None, 0] * d[..., 1]
+        y = -sin[:, None, 0] * d[..., 0] + cos[:, None, 0] * d[..., 1]
+        pts = -jnp.stack([x, y], axis=-1) * self.scale
+        pts = pts * min(res.height, res.width) / 2
+        return pts + jnp.asarray([res.width, res.height]) / 2
+
+    def reverse_transform_points_screen(self, points: jnp.ndarray,
+                                        res: Resolution) -> jnp.ndarray:
+        sin, cos = self.sc[..., 0:1], self.sc[..., 1:2]
+        pts = points - jnp.asarray([res.width, res.height]) / 2
+        pts = pts / (min(res.height, res.width) / 2)
+        pts = -pts / self.scale
+        x = cos[:, None, 0] * pts[..., 0] - sin[:, None, 0] * pts[..., 1]
+        y = sin[:, None, 0] * pts[..., 0] + cos[:, None, 0] * pts[..., 1]
+        return jnp.stack([x, y], axis=-1) + self.xy[:, None]
+
+
+class BirdviewRenderer(abc.ABC):
+    """
+    Batch BEV renderer ABC (ref: `rendering/base.py:133-220`): square
+    resolutions, one leading batch dimension, camera count folded into batch.
+    """
+    def __init__(self, cfg: RendererConfig,
+                 color_map: Optional[Dict[str, Tuple[int, int, int]]] = None,
+                 rendering_levels: Optional[Dict[str, float]] = None,
+                 res: Resolution = Resolution(64, 64), fov: float = 35):
+        self.cfg = cfg
+        self.res = res
+        self.scale = 2.0 / fov
+        self.color_map = color_map if color_map is not None else get_default_color_map()
+        self.rendering_levels = rendering_levels if rendering_levels is not None \
+            else get_default_rendering_levels()
+
+    def copy(self):
+        other = self.__class__(cfg=self.cfg, color_map=dict(self.color_map),
+                               rendering_levels=dict(self.rendering_levels),
+                               res=self.res)
+        other.scale = self.scale
+        return other
+
+    def get_color(self, element_type: str) -> Tuple[int, int, int]:
+        return self.color_map[element_type]
+
+    def render_frame(self, rgb_mesh: RGBMesh, camera_xy: jnp.ndarray,
+                     camera_sc: jnp.ndarray, res: Optional[Resolution] = None,
+                     fov: Optional[float] = None) -> jnp.ndarray:
+        """
+        Render an RGB mesh from the given cameras; on rasterizer failure,
+        log, dump the mesh, and return black frames (ref:
+        `rendering/base.py:167-204`).
+
+        Returns:
+            (B*Nc, 3, H, W) float images in [0, 255].
+        """
+        scale = (2.0 / fov) if fov is not None else self.scale
+        camera_xy = camera_xy.reshape(-1, 2)
+        camera_sc = camera_sc.reshape(-1, 2)
+        if res is None:
+            res = self.res
+        try:
+            image = self.render_rgb_mesh(rgb_mesh, res,
+                                         Cameras(camera_xy, camera_sc, scale))
+        except RuntimeError as e:
+            logger.exception(e)
+            image = jnp.zeros((camera_xy.shape[0], res.height, res.width, 3))
+            try:
+                with open('bad-mesh.pkl', 'wb') as f:
+                    pickle.dump((np.asarray(rgb_mesh.verts),
+                                 np.asarray(rgb_mesh.faces)), f)
+            except (RuntimeError, OSError):
+                pass
+        image = image.reshape(-1, res.height, res.width, 3)
+        return jnp.transpose(image, (0, 3, 1, 2))
+
+    @abc.abstractmethod
+    def render_rgb_mesh(self, mesh: RGBMesh, res: Resolution,
+                        cameras: Cameras) -> jnp.ndarray:
+        """Produce a (B, H, W, 3) float image in [0, 255]."""
+
+    def construct_cameras(self, xy: jnp.ndarray, sc: jnp.ndarray,
+                          scale: Optional[float] = None) -> Cameras:
+        return Cameras(xy=xy, sc=sc, scale=self.scale if scale is None else scale)
+
+
+class DummyRenderer(BirdviewRenderer):
+    """Black images; for debugging and benchmarking (ref: `rendering/base.py:223`)."""
+    def render_rgb_mesh(self, mesh: RGBMesh, res: Resolution,
+                        cameras: Cameras) -> jnp.ndarray:
+        b = cameras.get_camera_center().shape[0]
+        return jnp.zeros((b, res.height, res.width, 3), dtype=jnp.float32)
+
+
+def get_default_rendering_levels() -> Dict[str, float]:
+    """
+    Category -> rendering level; lower renders on top
+    (values match `rendering/base.py:234-261` for visual parity).
+    """
+    return dict(
+        direction=2, ego=3, vehicle=4, bicycle=5, pedestrian=6,
+        map_boundary=7, goal_waypoint=8, ground_truth=9, prediction=10,
+        traffic_light=11, traffic_light_green=11, traffic_light_yellow=11,
+        traffic_light_red=11, stop_sign=11, yield_sign=11,
+        left_lane=12, joint_lane=13, right_lane=14, road=15,
+    )
+
+
+def get_default_color_map() -> Dict[str, Tuple[int, int, int]]:
+    """
+    Category -> RGB in [0, 255]
+    (values match `rendering/base.py:264-292` for visual parity).
+    """
+    return dict(
+        background=(0, 0, 0), road=(155, 155, 155), corridor=(0, 155, 0),
+        ego=(255, 0, 0), vehicle=(32, 74, 135), bicycle=(24, 104, 225),
+        pedestrian=(173, 127, 168), ground_truth=(196, 188, 165),
+        prediction=(255, 155, 0), left_lane=(80, 127, 86),
+        right_lane=(128, 0, 128), joint_lane=(255, 255, 255),
+        direction=(100, 255, 255), rear_lights=(255, 255, 0),
+        map_boundary=(255, 255, 0), traffic_light_green=(81, 179, 100),
+        traffic_light_yellow=(240, 189, 39), traffic_light_red=(224, 53, 49),
+        yield_sign=(210, 125, 45), stop_sign=(72, 60, 50),
+        goal_waypoint=(139, 64, 0),
+    )
