@@ -1,0 +1,76 @@
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchdrivesim_tpu.ops.pallas_rasterize as pr
+from torchdrivesim_tpu.ops.rasterize import _face_arrays, rasterize_hard
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    """Run the Pallas kernel in interpreter mode on CPU."""
+    original = pr.pl.pallas_call
+    monkeypatch.setattr(pr.pl, 'pallas_call',
+                        functools.partial(original, interpret=True))
+    yield
+
+
+def _random_scene(seed, b=2, n_tri=10, res=128):
+    rng = np.random.RandomState(seed)
+    verts = np.concatenate([
+        rng.uniform(-20, 148, (b, n_tri * 3, 2)),
+        rng.uniform(1, 10, (b, n_tri * 3, 1)),
+    ], axis=-1).astype(np.float32)
+    for fi in range(n_tri):
+        verts[:, fi * 3:(fi + 1) * 3, 2] = verts[:, fi * 3:fi * 3 + 1, 2]
+    faces = np.tile(np.arange(n_tri * 3, dtype=np.int32).reshape(1, n_tri, 3),
+                    (b, 1, 1))
+    attrs = np.repeat(rng.uniform(0, 1, (b, n_tri, 1, 3)), 3, axis=2)
+    attrs = attrs.reshape(b, n_tri * 3, 3).astype(np.float32)
+    return jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(attrs)
+
+
+def test_pallas_matches_xla_rasterizer():
+    res = 128
+    verts, faces, attrs = _random_scene(0, res=res)
+    b = verts.shape[0]
+    bg_hwc = jnp.broadcast_to(jnp.asarray([0.1, 0.2, 0.3]), (b, res, res, 3))
+    want = np.asarray(rasterize_hard(verts, faces, attrs, res, bg_hwc))
+
+    corners, z, color = _face_arrays(verts, faces, attrs)
+    bg_chw = jnp.transpose(bg_hwc, (0, 3, 1, 2))
+    got = np.asarray(pr.rasterize_hard_pallas(corners, z, color, res, bg_chw))
+    got_hwc = np.transpose(got, (0, 2, 3, 1))
+    agree = np.isclose(got_hwc, want, atol=1e-5).all(axis=-1).mean()
+    assert agree > 0.999, f"only {agree:.4f} of pixels agree"
+
+
+def test_pallas_degenerate_faces_paint_nothing():
+    res = 128
+    corners = jnp.zeros((1, 4, 3, 2))  # all faces collapsed to the origin
+    z = jnp.full((1, 4), 5.0)
+    colors = jnp.ones((1, 4, 3))
+    bg = jnp.zeros((1, 3, res, res))
+    img = np.asarray(pr.rasterize_hard_pallas(corners, z, colors, res, bg))
+    np.testing.assert_allclose(img, 0.0)
+
+
+def test_pallas_z_priority_and_tiebreak():
+    res = 128
+    tri = np.asarray([[-50, -50], [250, -50], [60, 250]], np.float32)
+    corners = jnp.asarray(np.stack([tri, tri])[None])   # two identical faces
+    z = jnp.asarray([[5.0, 5.0]])                       # tie -> first wins
+    colors = jnp.asarray([[[1., 0., 0.], [0., 1., 0.]]])
+    bg = jnp.zeros((1, 3, res, res))
+    img = np.asarray(pr.rasterize_hard_pallas(corners, z, colors, res, bg))
+    covered = img.sum(axis=1) > 0
+    assert covered.any()
+    assert np.allclose(img[0, 0][covered[0]], 1.0)  # red (first face)
+    assert np.allclose(img[0, 1][covered[0]], 0.0)
+    # lower z wins regardless of order
+    z2 = jnp.asarray([[5.0, 2.0]])
+    img2 = np.asarray(pr.rasterize_hard_pallas(corners, z2, colors, res, bg))
+    assert np.allclose(img2[0, 1][covered[0]], 1.0)  # green (z=2)

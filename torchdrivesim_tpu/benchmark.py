@@ -1,0 +1,265 @@
+"""
+Benchmark scenario construction: the BASELINE workload as one jitted step.
+
+Builds the headline configuration (batch of environments on a CARLA town,
+~20 vehicles each, bicycle kinematics, egocentric 128x128 BEV render,
+collision/offroad/wrong-way infractions every step) entirely on-device:
+the full env step -- NPC advance, kinematics, traffic lights, rendering,
+infractions -- is a single pure function scanned over time.
+
+Heavy per-map assets (background texture, distance/direction grids) are
+baked once and cached next to the map (see ``map.py``/``ops/rasterize.py``).
+"""
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import torchdrivesim_tpu.kinematic as K
+from torchdrivesim_tpu.behavior.heuristic import heuristic_initialize
+from torchdrivesim_tpu.map import (
+    MapConfig, find_map_config, traffic_controls_from_map_config,
+)
+from torchdrivesim_tpu.map_grids import (
+    offroad_loss_from_grid, wrong_way_loss_from_grid,
+)
+from torchdrivesim_tpu.infractions import compute_collision_matrix
+from torchdrivesim_tpu.ops.grids import Grid2D
+from torchdrivesim_tpu.ops.rasterize import bake_background_texture
+from torchdrivesim_tpu.rendering import JaxRendererConfig, renderer_from_config
+from torchdrivesim_tpu.simulator import Simulator, TorchDriveConfig
+from torchdrivesim_tpu.traffic_controls import red_light_violations
+from torchdrivesim_tpu.traffic_lights import BakedLightSchedule
+from torchdrivesim_tpu.utils import Resolution
+
+
+def texture_cache_path(cfg: MapConfig, ppm: float) -> Optional[str]:
+    base = cfg.mesh_path or cfg.lanelet_path
+    if base is None:
+        return None
+    return os.path.join(os.path.dirname(base),
+                        f'{cfg.name}_tpu_texture_{ppm:g}.npz')
+
+
+def load_or_bake_texture(cfg: MapConfig, color_map, rendering_levels,
+                         ppm: float = 4.0) -> Grid2D:
+    """Background texture for a map, cached on disk as float16."""
+    path = texture_cache_path(cfg, ppm)
+    if path and os.path.exists(path):
+        with np.load(path) as data:
+            return Grid2D(data=jnp.asarray(data['data'].astype(np.float32)),
+                          origin=jnp.asarray(data['origin'].astype(np.float32)),
+                          cell_size=float(data['cell']))
+    from torchdrivesim_tpu.mesh import set_colors_with_defaults
+    from torchdrivesim_tpu.scene_mesh import BirdviewRGBMeshGenerator
+    mesh = cfg.road_mesh
+    rgb = set_colors_with_defaults(mesh, color_map, rendering_levels)
+    texture = bake_background_texture(
+        rgb.verts[0], rgb.faces[0], rgb.attrs[0],
+        background_color=jnp.asarray(color_map['background'],
+                                     jnp.float32) / 255.0,
+        pixels_per_meter=ppm)
+    if path:
+        try:
+            np.savez_compressed(path, data=np.asarray(texture.data, np.float16),
+                                origin=np.asarray(texture.origin, np.float64),
+                                cell=texture.cell_size)
+        except OSError:
+            pass
+    return texture
+
+
+@dataclass
+class BenchmarkScenario:
+    sim: Simulator
+    schedule: Optional[BakedLightSchedule]
+    res: int
+    fov: float
+    dt: float
+
+    def make_step_fn(self, render: bool = True, metrics: bool = True,
+                     differentiable_render: bool = False):
+        """
+        One env step as a pure function: (state, action) ->
+        (state, (image, metrics dict)). Safe under jit/scan/grad.
+        """
+        sim = self.sim
+        gen = sim.birdview_mesh_generator
+        renderer = sim.renderer
+        res = self.res
+        schedule = self.schedule
+        dt = self.dt
+        b = sim.batch_size
+        n_all = sim.agent_count + sim.npc_count
+        sizes = sim.get_all_agent_size()
+        light_control = (sim.traffic_controls or {}).get('traffic_light')
+
+        def step(state, action):
+            state = sim.functional_step(state, action)
+            light_state = None
+            if schedule is not None:
+                lights = schedule.states_at(state.time.astype(jnp.float32) * dt)
+                light_state = jnp.broadcast_to(lights[None], (b, lights.shape[0]))
+            elif light_control is not None:
+                light_state = state.traffic_control_state['traffic_light']
+
+            outputs = {}
+            if render:
+                all_state = jnp.concatenate(
+                    [state.agent_state, state.npc_state], axis=-2)
+                present = jnp.concatenate(
+                    [state.present_mask, state.npc_present_mask], axis=-1)
+                mesh = gen.generate(
+                    1, agent_state=all_state[:, None],
+                    present_mask=present[:, None],
+                    traffic_light_state=light_state,
+                    include_background=renderer.background_texture is None)
+                ego = state.agent_state[:, 0]
+                cam_xy = ego[:, :2]
+                cam_sc = jnp.stack([jnp.sin(ego[:, 2]), jnp.cos(ego[:, 2])],
+                                   axis=-1)
+                from torchdrivesim_tpu.rendering.base import Cameras
+                cameras = Cameras(cam_xy, cam_sc, 2.0 / self.fov)
+                if hasattr(renderer, 'render_rgb_mesh_chw'):
+                    image = renderer.render_rgb_mesh_chw(
+                        mesh, Resolution(res, res), cameras)
+                else:
+                    image = renderer.render_rgb_mesh(
+                        mesh, Resolution(res, res), cameras)
+                outputs['image'] = image
+            if metrics:
+                all_state = jnp.concatenate(
+                    [state.agent_state, state.npc_state], axis=-2)
+                present = jnp.concatenate(
+                    [state.present_mask, state.npc_present_mask], axis=-1)
+                boxes = jnp.concatenate(
+                    [all_state[..., :2], sizes, all_state[..., 2:3]], axis=-1)
+                outputs['collision'] = compute_collision_matrix(
+                    boxes, present)[:, :sim.agent_count]
+                if sim.map_grids is not None:
+                    outputs['offroad'] = offroad_loss_from_grid(
+                        sim.map_grids, state.agent_state, sim.agent_size,
+                        threshold=sim.cfg.offroad_threshold)
+                    outputs['wrong_way'] = wrong_way_loss_from_grid(
+                        sim.map_grids, state.agent_state)
+                if light_control is not None and light_state is not None:
+                    agent_boxes = boxes[:, :sim.agent_count]
+                    outputs['light_violation'] = red_light_violations(
+                        agent_boxes, light_control.corners, light_state,
+                        red_index=light_control.allowed_states.index('red'))
+            return state, outputs
+
+        return step
+
+
+def build_benchmark_scenario(map_name: str = 'carla_Town02',
+                             batch_size: int = 256, agent_count: int = 20,
+                             res: int = 128, fov: float = 70.0,
+                             dt: float = 0.1, seed: int = 0,
+                             use_texture: bool = True,
+                             background_downsample: int = 2,
+                             n_layouts: int = 4) -> BenchmarkScenario:
+    """
+    Assemble the benchmark world: ``batch_size`` envs on one map, each with
+    ``agent_count`` bicycle-model vehicles placed on lanelet centerlines,
+    full traffic-light stack, baked grids, and the composite renderer.
+    """
+    import random
+    cfg_map = find_map_config(map_name)
+    assert cfg_map is not None, f"map {map_name} not found"
+    mesh = cfg_map.road_mesh
+    lanelet_map = cfg_map.lanelet_map
+    controls = traffic_controls_from_map_config(cfg_map)
+    grids = cfg_map.grids()
+
+    # sample a few distinct layouts on the host, tile to the full batch
+    random.seed(seed)
+    layouts = []
+    for _ in range(min(n_layouts, batch_size)):
+        attrs, states = heuristic_initialize(lanelet_map, agent_count,
+                                             min_speed=1, max_speed=8)
+        layouts.append((attrs, states))
+    reps = int(np.ceil(batch_size / len(layouts)))
+    attrs = jnp.concatenate([a for a, _ in layouts], axis=0)
+    states = jnp.concatenate([s for _, s in layouts], axis=0)
+    attrs = jnp.tile(attrs, (reps, 1, 1))[:batch_size]
+    states = jnp.tile(states, (reps, 1, 1))[:batch_size]
+
+    kin = K.KinematicBicycle(
+        dt=dt, left_handed=bool(cfg_map.left_handed_coordinates))
+    kin.set_params(lr=attrs[..., 2])
+    kin.set_state(states)
+
+    cfg = TorchDriveConfig(
+        left_handed_coordinates=bool(cfg_map.left_handed_coordinates))
+    cfg.renderer = JaxRendererConfig(
+        left_handed_coordinates=bool(cfg_map.left_handed_coordinates),
+        background_downsample=background_downsample)
+
+    controls = {k: v.extend(batch_size, in_place=False)
+                for k, v in controls.items()}
+    road = mesh.expand(batch_size) if mesh.batch_size == 1 else mesh
+    sim = Simulator(
+        road_mesh=road, kinematic_model=kin, agent_size=attrs[..., :2],
+        initial_present_mask=jnp.ones((batch_size, agent_count), dtype=bool),
+        cfg=cfg, traffic_controls=controls, map_grids=grids,
+        lanelet_map=[lanelet_map] * batch_size)
+    sim.renderer.res = Resolution(res, res)
+    sim.renderer.scale = 2.0 / fov
+    if use_texture:
+        sim.renderer.background_texture = load_or_bake_texture(
+            cfg_map, sim.renderer.color_map, sim.renderer.rendering_levels)
+
+    schedule = None
+    controller = cfg_map.traffic_light_controller
+    if controller is not None and 'traffic_light' in controls:
+        light_ids = getattr(controls['traffic_light'], 'actor_ids', None)
+        if light_ids:
+            schedule = BakedLightSchedule(controller, light_ids)
+
+    return BenchmarkScenario(sim=sim, schedule=schedule, res=res, fov=fov, dt=dt)
+
+
+def run_benchmark(scenario: BenchmarkScenario, steps_per_chunk: int = 50,
+                  n_chunks: int = 4, warmup_chunks: int = 1) -> dict:
+    """Time the jitted scan; returns steps/sec stats."""
+    sim = scenario.sim
+    step = scenario.make_step_fn(render=True, metrics=True)
+    b = sim.batch_size
+
+    @jax.jit
+    def rollout_chunk(state):
+        def body(s, _):
+            s, out = step(s, jnp.zeros((b, sim.agent_count, 2)))
+            # reduce outputs so nothing large leaves the device
+            summary = jnp.stack(
+                [jnp.sum(out['image']) if 'image' in out else 0.0]
+                + [jnp.sum(v.astype(jnp.float32)) for k, v in out.items()
+                   if k != 'image'])
+            return s, summary
+        final, summaries = jax.lax.scan(body, state, None,
+                                        length=steps_per_chunk)
+        return final, jnp.sum(summaries)
+
+    state = sim.state
+    for _ in range(warmup_chunks):
+        state, checksum = rollout_chunk(state)
+        checksum.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, checksum = rollout_chunk(state)
+    checksum.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    env_steps = b * steps_per_chunk * n_chunks
+    return {
+        'env_steps_per_sec': env_steps / elapsed,
+        'elapsed_sec': elapsed,
+        'env_steps': env_steps,
+        'batch_size': b,
+        'checksum': float(checksum),
+    }

@@ -525,6 +525,56 @@ _MESH_CLASSES = {c.__name__: c for c in (BaseMesh, AttributeMesh, RGBMesh, Birdv
 
 
 # ----------------------------------------------------------------------------
+# PyTree registration: meshes flow through jit/scan/grad boundaries
+# ----------------------------------------------------------------------------
+
+def _register_mesh_pytrees():
+    import jax
+
+    def base_flatten(m):
+        return (m.verts, m.faces), None
+
+    def base_unflatten(aux, children):
+        return BaseMesh(verts=children[0], faces=children[1])
+
+    jax.tree_util.register_pytree_node(BaseMesh, base_flatten, base_unflatten)
+
+    def attr_flatten(m):
+        return (m.verts, m.faces, m.attrs), None
+
+    def make_attr_unflatten(cls):
+        def unflatten(aux, children):
+            return cls(verts=children[0], faces=children[1], attrs=children[2])
+        return unflatten
+
+    jax.tree_util.register_pytree_node(
+        AttributeMesh, attr_flatten, make_attr_unflatten(AttributeMesh))
+    jax.tree_util.register_pytree_node(
+        RGBMesh, attr_flatten, make_attr_unflatten(RGBMesh))
+
+    def bv_flatten(m):
+        colors = tuple(sorted(
+            (k, tuple(float(c) for c in _np(v).reshape(-1)))
+            for k, v in m.colors.items()))
+        zs = tuple(sorted((k, float(v)) for k, v in m.zs.items()))
+        aux = (tuple(m.categories), colors, zs, m._cat_fill)
+        return (m.verts, m.faces, m.vert_category), aux
+
+    def bv_unflatten(aux, children):
+        categories, colors, zs, cat_fill = aux
+        return BirdviewMesh(
+            verts=children[0], faces=children[1], vert_category=children[2],
+            categories=list(categories),
+            colors={k: jnp.asarray(v) for k, v in colors},
+            zs=dict(zs), _cat_fill=cat_fill)
+
+    jax.tree_util.register_pytree_node(BirdviewMesh, bv_flatten, bv_unflatten)
+
+
+_register_mesh_pytrees()
+
+
+# ----------------------------------------------------------------------------
 # Mesh constructors (ref: `mesh.py:1160-1290`)
 # ----------------------------------------------------------------------------
 

@@ -114,11 +114,48 @@ def _coverage_hard(corners: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jn
     return inside & ok
 
 
+def cull_faces_to_view(corners: jnp.ndarray, z: jnp.ndarray, color: jnp.ndarray,
+                       res: int, max_faces: int):
+    """
+    Keep only the ``max_faces`` faces closest to each camera's image center
+    (screen space). With map-scale scenes most faces are far outside every
+    camera's field of view; this turns per-pixel work from O(F_total) into
+    O(max_faces). Degenerate (masked) faces sort last.
+
+    Args:
+        corners: (B, F, 3, 2) screen-space corners; z: (B, F); color: (B, F, 3).
+    Returns:
+        (corners (B, K, 3, 2), z (B, K), color (B, K, 3)) with K = max_faces.
+    """
+    f = corners.shape[1]
+    if f <= max_faces:
+        return corners, z, color
+    center = jnp.mean(corners, axis=2)                      # (B, F, 2)
+    d2 = jnp.sum((center - res / 2.0) ** 2, axis=-1)
+    # out-of-view faces can never cover a pixel once their bbox misses the
+    # image entirely; degenerate faces are pushed to the end
+    nxt = [1, 2, 0]
+    e = corners[..., nxt, :] - corners
+    area = jnp.abs(e[..., 0, 0] * (corners[..., 2, 1] - corners[..., 0, 1])
+                   - e[..., 0, 1] * (corners[..., 2, 0] - corners[..., 0, 0]))
+    d2 = jnp.where(area > DEGENERATE_AREA_EPS, d2, jnp.inf)
+    _, idx = jax.lax.top_k(-d2, max_faces)                  # (B, K)
+    corners = jnp.take_along_axis(corners, idx[..., None, None], axis=1)
+    z = jnp.take_along_axis(z, idx, axis=1)
+    color = jnp.take_along_axis(color, idx[..., None], axis=1)
+    return corners, z, color
+
+
 def rasterize_hard(verts: jnp.ndarray, faces: jnp.ndarray, attrs: jnp.ndarray,
                    res: int, background: jnp.ndarray,
-                   face_chunk: int = 16) -> jnp.ndarray:
+                   face_chunk: int = 16, cull_to: int = 0) -> jnp.ndarray:
     """
     Hard z-priority rasterization.
+
+    The per-pixel winner is resolved with an unrolled chain of vectorized
+    ``where`` updates over faces inside each chunk -- no per-pixel gathers
+    (an earlier ``argmin`` + ``take_along_axis`` formulation was ~10x slower
+    on TPU because XLA lowers those to scalar gather loops).
 
     Args:
         verts: (B, V, 3) screen-space vertices (row, col, priority z).
@@ -134,7 +171,9 @@ def rasterize_hard(verts: jnp.ndarray, faces: jnp.ndarray, attrs: jnp.ndarray,
     if f_total == 0:
         return background
     corners, z, color = _face_arrays(verts, faces, attrs)
-    pad = (-f_total) % face_chunk
+    if cull_to:
+        corners, z, color = cull_faces_to_view(corners, z, color, res, cull_to)
+    pad = (-corners.shape[1]) % face_chunk
     if pad:
         corners = jnp.concatenate(
             [corners, jnp.zeros((b, pad, 3, 2), corners.dtype)], axis=1)
@@ -154,15 +193,12 @@ def rasterize_hard(verts: jnp.ndarray, faces: jnp.ndarray, attrs: jnp.ndarray,
         best_z, best_color = carry
         cc, cz, ccol = chunk
         cover = _coverage_hard(cc, px, py)                       # B,Fc,H,W
-        zval = jnp.where(cover, cz[..., None, None], BIG_Z)      # B,Fc,H,W
-        cmin = jnp.min(zval, axis=1)                             # B,H,W
-        carg = jnp.argmin(zval, axis=1)                          # B,H,W
-        ccolor = jnp.take_along_axis(
-            ccol[:, :, None, None, :],
-            carg[:, None, :, :, None], axis=1)[:, 0]             # B,H,W,3
-        better = cmin < best_z
-        best_color = jnp.where(better[..., None], ccolor, best_color)
-        best_z = jnp.minimum(best_z, cmin)
+        for f in range(face_chunk):
+            zval = jnp.where(cover[:, f], cz[:, f, None, None], BIG_Z)
+            better = zval < best_z
+            best_z = jnp.where(better, zval, best_z)
+            best_color = jnp.where(better[..., None],
+                                   ccol[:, f, None, None, :], best_color)
         return (best_z, best_color), None
 
     init = (jnp.full((b, res, res), BIG_Z, verts.dtype), background)
@@ -304,19 +340,97 @@ def _rasterize_hard_rect(verts, faces, attrs, height, width, background,
         best_z, best_color = carry
         cc, cz, ccol = chunk
         cover = _coverage_hard(cc, px, py)
-        zval = jnp.where(cover, cz[..., None, None], BIG_Z)
-        cmin = jnp.min(zval, axis=1)
-        carg = jnp.argmin(zval, axis=1)
-        ccolor = jnp.take_along_axis(
-            ccol[:, :, None, None, :], carg[:, None, :, :, None], axis=1)[:, 0]
-        better = cmin < best_z
-        best_color = jnp.where(better[..., None], ccolor, best_color)
-        best_z = jnp.minimum(best_z, cmin)
+        for f in range(face_chunk):
+            zval = jnp.where(cover[:, f], cz[:, f, None, None], BIG_Z)
+            better = zval < best_z
+            best_z = jnp.where(better, zval, best_z)
+            best_color = jnp.where(better[..., None],
+                                   ccol[:, f, None, None, :], best_color)
         return (best_z, best_color), None
 
     init = (jnp.full((b, height, width), BIG_Z, verts.dtype), background)
     (_, best_color), _ = jax.lax.scan(body, init, (corners, z, color))
     return best_color
+
+
+def pack_texture_rgb8(texture: Grid2D) -> Grid2D:
+    """
+    Pack a float RGB texture into one uint32 per texel (0x00BBGGRR): the
+    fast sampling path then issues a SINGLE gather per output pixel instead
+    of 12 (4 bilinear taps x 3 channels), which is the difference between
+    gather-bound and compute-bound rendering on TPU.
+    """
+    rgb = jnp.clip(jnp.asarray(texture.data), 0.0, 1.0)
+    q = jnp.round(rgb * 255.0).astype(jnp.uint32)
+    packed = q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)
+    return Grid2D(data=packed[..., None], origin=texture.origin,
+                  cell_size=texture.cell_size)
+
+
+def sample_background_packed(texture_packed: Grid2D, cam_xy: jnp.ndarray,
+                             cam_sc: jnp.ndarray, scale: float, res: int,
+                             background_color: jnp.ndarray,
+                             left_handed: bool = False,
+                             downsample: int = 1,
+                             chw: bool = False) -> jnp.ndarray:
+    """
+    Nearest-neighbor view of a packed uint32 texture: one gather per pixel.
+    Non-differentiable w.r.t. the camera (use :func:`sample_background` for
+    training); visually equivalent when texel size <= output pixel size.
+
+    Args:
+        downsample: sample the background at res/downsample and bilinearly
+            upsample on-chip -- trades background sharpness for a
+            quadratic reduction in gather count (gathers are the TPU
+            bottleneck; the upsample is pure VPU math).
+        chw: emit channels-first (B, 3, H, W) instead of (B, H, W, 3).
+    """
+    sample_res = res // downsample
+    world = _pixel_world_coords(cam_xy, cam_sc, scale, sample_res, left_handed)
+    uv = (world - texture_packed.origin) / texture_packed.cell_size
+    xi = jnp.round(uv[..., 0]).astype(jnp.int32)
+    yi = jnp.round(uv[..., 1]).astype(jnp.int32)
+    h, w = texture_packed.data.shape[0], texture_packed.data.shape[1]
+    valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    flat = texture_packed.data[..., 0].reshape(-1)
+    idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+    packed = flat[idx]
+    r = (packed & 0xFF).astype(jnp.float32) / 255.0
+    g = ((packed >> 8) & 0xFF).astype(jnp.float32) / 255.0
+    b = ((packed >> 16) & 0xFF).astype(jnp.float32) / 255.0
+    if chw:
+        img = jnp.stack([r, g, b], axis=1)                   # (B, 3, h, w)
+        bg = jnp.asarray(background_color, img.dtype)[None, :, None, None]
+        img = jnp.where(valid[:, None], img, bg)
+        if downsample > 1:
+            img = jax.image.resize(img, (img.shape[0], 3, res, res), 'bilinear')
+        return img
+    img = jnp.stack([r, g, b], axis=-1)
+    bg = jnp.asarray(background_color, img.dtype)
+    img = jnp.where(valid[..., None], img, bg)
+    if downsample > 1:
+        img = jax.image.resize(img, (img.shape[0], res, res, 3), 'bilinear')
+    return img
+
+
+def _pixel_world_coords(cam_xy: jnp.ndarray, cam_sc: jnp.ndarray, scale: float,
+                        res: int, left_handed: bool) -> jnp.ndarray:
+    """World coordinates of every output pixel center (B, res, res, 2)."""
+    coords = jnp.arange(res, dtype=jnp.float32) + 0.5
+    half = res / 2.0
+    px_per_m = scale * half
+    row = coords[:, None]
+    col = coords[None, :]
+    forward = (half - row) / px_per_m
+    left = (col - half) / px_per_m if left_handed else (half - col) / px_per_m
+    forward = jnp.broadcast_to(forward, (res, res))
+    left = jnp.broadcast_to(left, (res, res))
+    s = cam_sc[:, 0][:, None, None]
+    c = cam_sc[:, 1][:, None, None]
+    dx = c * forward - s * left
+    dy = s * forward + c * left
+    return jnp.stack([dx + cam_xy[:, 0][:, None, None],
+                      dy + cam_xy[:, 1][:, None, None]], axis=-1)
 
 
 def sample_background(texture: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray,
@@ -330,24 +444,7 @@ def sample_background(texture: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray,
     Returns:
         (B, res, res, 3) image.
     """
-    coords = jnp.arange(res, dtype=jnp.float32) + 0.5
-    half = res / 2.0
-    px_per_m = scale * half
-    row = coords[:, None]
-    col = coords[None, :]
-    forward = (half - row) / px_per_m                      # (res, res) broadcast
-    if left_handed:
-        left = (col - half) / px_per_m
-    else:
-        left = (half - col) / px_per_m
-    forward = jnp.broadcast_to(forward, (res, res))
-    left = jnp.broadcast_to(left, (res, res))
-    s = cam_sc[:, 0][:, None, None]
-    c = cam_sc[:, 1][:, None, None]
-    dx = c * forward - s * left
-    dy = s * forward + c * left
-    world = jnp.stack([dx + cam_xy[:, 0][:, None, None],
-                       dy + cam_xy[:, 1][:, None, None]], axis=-1)  # B,H,W,2
+    world = _pixel_world_coords(cam_xy, cam_sc, scale, res, left_handed)
     img = bilinear_sample(texture, world, fill_value=-1.0)
     # out-of-texture pixels (negative sentinel) -> background color
     bg = jnp.asarray(background_color, img.dtype)

@@ -49,6 +49,17 @@ class JaxRendererConfig(RendererConfig):
     differentiable: bool = False      #: soft (differentiable) vs hard coverage
     soft_sigma: float = 0.5           #: edge softness in pixels (soft mode)
     face_chunk: int = 16              #: faces per reduction step (hard mode)
+    cull_max_faces: int = 64          #: per-camera face budget when compositing
+        # over a baked background texture (0 disables culling); dynamic faces
+        # are small, so center-distance culling is exact for budgets that
+        # exceed the number of genuinely visible faces
+    background_downsample: int = 1    #: sample the baked background at
+        # res/downsample and upsample on-chip (fast path only; reduces TPU
+        # gather count quadratically at the cost of background sharpness)
+    use_pallas: bool = False          #: use the MXU Pallas rasterizer kernel
+        # (ops/pallas_rasterize.py) instead of the XLA path on TPU; currently
+        # at parity with the XLA rasterizer end-to-end (the render hot spot
+        # is background texture gathers, not face coverage math)
 
 
 class Cameras:

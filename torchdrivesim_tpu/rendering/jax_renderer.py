@@ -1,48 +1,84 @@
 """
-The XLA rasterizer backend: renders RGB meshes (and optionally composites
-them over a baked background texture) fully on-device.
+The XLA/Pallas rasterizer backend: renders RGB meshes (and optionally
+composites them over a baked background texture) fully on-device.
 
 This single backend replaces the reference's pytorch3d / nvdiffrast / cv2
 renderers (`torchdrivesim/rendering/{pytorch3d,nvdiffrast,cv2}.py`). Output
 follows the reference's visual convention: camera forward points up in the
 image, lower rendering level on top, colors in [0, 255].
+
+Two compute paths:
+* the MXU Pallas kernel (`ops/pallas_rasterize.py`) -- default on TPU for
+  hard rendering of culled dynamic faces over a baked background;
+* the XLA rasterizer (`ops/rasterize.py`) -- full-mesh renders, soft
+  (differentiable) mode, and non-TPU backends.
 """
 from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from torchdrivesim_tpu.mesh import RGBMesh
 from torchdrivesim_tpu.ops.grids import Grid2D
 from torchdrivesim_tpu.ops.rasterize import (
-    camera_rows_cols, rasterize_hard, rasterize_soft, sample_background,
+    _face_arrays, camera_rows_cols, cull_faces_to_view, rasterize_hard,
+    rasterize_soft, sample_background, sample_background_packed,
 )
 from torchdrivesim_tpu.rendering.base import (
     BirdviewRenderer, Cameras, JaxRendererConfig, Resolution,
 )
 
 
+def _on_tpu() -> bool:
+    backend = jax.default_backend()
+    return backend in ('tpu', 'axon')
+
+
 class JaxRenderer(BirdviewRenderer):
     """
-    Rasterizes a full RGB mesh per frame. If :attr:`background_texture` is
-    set (see ``bake_background_texture``), callers can render only dynamic
-    faces and composite them over the sampled texture -- the fast path used
-    by the simulator.
+    Rasterizes RGB meshes per frame. If :attr:`background_texture` is set,
+    only dynamic faces need to be in the mesh; they are composited over the
+    sampled texture -- the fast path used by the simulator.
     """
     def __init__(self, cfg: JaxRendererConfig, *args,
                  background_texture: Optional[Grid2D] = None, **kwargs):
         super().__init__(cfg, *args, **kwargs)
         self.cfg: JaxRendererConfig = cfg
+        self._background_texture = None
+        self._packed_texture = None
         self.background_texture = background_texture
+
+    @property
+    def background_texture(self) -> Optional[Grid2D]:
+        return self._background_texture
+
+    @background_texture.setter
+    def background_texture(self, texture: Optional[Grid2D]):
+        from torchdrivesim_tpu.ops.rasterize import pack_texture_rgb8
+        self._background_texture = texture
+        self._packed_texture = pack_texture_rgb8(texture) \
+            if texture is not None else None
 
     def copy(self):
         other = super().copy()
-        other.background_texture = self.background_texture
+        other._background_texture = self._background_texture
+        other._packed_texture = self._packed_texture
         return other
 
-    def render_rgb_mesh(self, mesh: RGBMesh, res: Resolution, cameras: Cameras,
-                        background_texture: Optional[Grid2D] = None) -> jnp.ndarray:
+    def _use_pallas(self, res: int) -> bool:
+        if not self.cfg.use_pallas or self.cfg.differentiable:
+            return False
+        if (res * res) % 1024 != 0:
+            return False
+        return _on_tpu()
+
+    def render_rgb_mesh_chw(self, mesh: RGBMesh, res: Resolution,
+                            cameras: Cameras,
+                            background_texture: Optional[Grid2D] = None
+                            ) -> jnp.ndarray:
+        """Produce a channels-first (B, 3, H, W) float image in [0, 255]."""
         assert res.width == res.height, "only square resolutions are supported"
         size = res.width
         cam_xy = cameras.xy
@@ -51,22 +87,66 @@ class JaxRenderer(BirdviewRenderer):
         bg_color = jnp.asarray(self.get_color('background'), jnp.float32) / 255.0
         texture = background_texture if background_texture is not None \
             else self.background_texture
-        if texture is not None:
-            background = sample_background(
-                texture, cam_xy, cam_sc, scale, size, bg_color,
-                left_handed=self.cfg.left_handed_coordinates)
-        else:
-            background = jnp.broadcast_to(
-                bg_color, (cam_xy.shape[0], size, size, 3))
+        use_pallas = self._use_pallas(size)
+        fast_sampling = (texture is not None and not self.cfg.differentiable
+                         and self._packed_texture is not None
+                         and background_texture is None)
 
-        # screen-space vertices: (row, col) + priority z
+        # background, in the layout the chosen rasterizer wants
+        if texture is not None:
+            if fast_sampling:
+                background = sample_background_packed(
+                    self._packed_texture, cam_xy, cam_sc, scale, size, bg_color,
+                    left_handed=self.cfg.left_handed_coordinates,
+                    downsample=self.cfg.background_downsample, chw=use_pallas)
+            else:
+                background = sample_background(
+                    texture, cam_xy, cam_sc, scale, size, bg_color,
+                    left_handed=self.cfg.left_handed_coordinates)
+                if use_pallas:
+                    background = jnp.transpose(background, (0, 3, 1, 2))
+        else:
+            shape = (cam_xy.shape[0], 3, size, size) if use_pallas \
+                else (cam_xy.shape[0], size, size, 3)
+            bg_b = bg_color[None, :, None, None] if use_pallas \
+                else bg_color
+            background = jnp.broadcast_to(bg_b, shape)
+
         rc = camera_rows_cols(mesh.verts[..., :2], cam_xy, cam_sc, scale, size,
                               left_handed=self.cfg.left_handed_coordinates)
         sv = jnp.concatenate([rc, mesh.verts[..., 2:3]], axis=-1)
+        cull = self.cfg.cull_max_faces if texture is not None else 0
+
         if self.cfg.differentiable:
             image = rasterize_soft(sv, mesh.faces, mesh.attrs, size, background,
                                    sigma=self.cfg.soft_sigma)
-        else:
-            image = rasterize_hard(sv, mesh.faces, mesh.attrs, size, background,
-                                   face_chunk=self.cfg.face_chunk)
-        return image * 255.0
+            return jnp.transpose(image, (0, 3, 1, 2)) * 255.0
+        if use_pallas:
+            from torchdrivesim_tpu.ops.pallas_rasterize import rasterize_hard_pallas
+            corners, z, color = _face_arrays(sv, mesh.faces, mesh.attrs)
+            if cull:
+                corners, z, color = cull_faces_to_view(corners, z, color,
+                                                       size, cull)
+            image = rasterize_hard_pallas(corners, z, color, size, background)
+            return image * 255.0
+        image = rasterize_hard(sv, mesh.faces, mesh.attrs, size, background,
+                               face_chunk=self.cfg.face_chunk, cull_to=cull)
+        return jnp.transpose(image, (0, 3, 1, 2)) * 255.0
+
+    def render_rgb_mesh(self, mesh: RGBMesh, res: Resolution, cameras: Cameras,
+                        background_texture: Optional[Grid2D] = None) -> jnp.ndarray:
+        """(B, H, W, 3) float image in [0, 255] (ABC-compatible layout)."""
+        chw = self.render_rgb_mesh_chw(mesh, res, cameras, background_texture)
+        return jnp.transpose(chw, (0, 2, 3, 1))
+
+    def render_frame(self, rgb_mesh: RGBMesh, camera_xy: jnp.ndarray,
+                     camera_sc: jnp.ndarray, res: Optional[Resolution] = None,
+                     fov: Optional[float] = None) -> jnp.ndarray:
+        """Channels-first end to end: skips the HWC round trip of the ABC."""
+        scale = (2.0 / fov) if fov is not None else self.scale
+        camera_xy = camera_xy.reshape(-1, 2)
+        camera_sc = camera_sc.reshape(-1, 2)
+        if res is None:
+            res = self.res
+        return self.render_rgb_mesh_chw(
+            rgb_mesh, res, Cameras(camera_xy, camera_sc, scale))

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from torchdrivesim_tpu.ops.box import (
-    box2corners, box2corners_with_rear_factor, oriented_box_intersection_area,
+    box2corners, box2corners_with_rear_factor, boxes_overlap_sat,
 )
 
 #: far-away placeholder for masked stopline corners (ref: `traffic_controls.py:33`)
@@ -90,7 +90,9 @@ def red_light_violations(agent_state: jnp.ndarray, light_corners: jnp.ndarray,
     lc = light_corners[:, None]                           # B x 1 x N x 4 x 2
     ac = jnp.broadcast_to(ac, (b, a, n, 4, 2))
     lc = jnp.broadcast_to(lc, (b, a, n, 4, 2))
-    overlap = oriented_box_intersection_area(ac, lc) > 0  # B x A x N
+    # SAT boolean overlap == (intersection area > 0), far cheaper than the
+    # polygon-clipping pipeline the reference evaluates here
+    overlap = boxes_overlap_sat(ac, lc)                   # B x A x N
     is_red = (light_state == red_index)[:, None]          # B x 1 x N
     return jnp.any(overlap & is_red, axis=-1)
 
