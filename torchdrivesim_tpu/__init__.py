@@ -16,6 +16,13 @@ import os
 
 __version__ = "0.1.0"
 
+# Reliable backend override: site-customized accelerator plugins can ignore
+# JAX_PLATFORMS, but jax.config always wins. TDS_PLATFORM=cpu forces CPU
+# (used by example smoke tests and CPU-only CI).
+if os.environ.get('TDS_PLATFORM'):
+    import jax as _jax
+    _jax.config.update('jax_platforms', os.environ['TDS_PLATFORM'])
+
 if 'TDS_RESOURCE_PATH' in os.environ:
     _resource_path = [p for p in os.environ['TDS_RESOURCE_PATH'].split(':') if p]
 else:
