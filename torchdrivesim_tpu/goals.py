@@ -51,7 +51,9 @@ def gather_current(waypoints: jnp.ndarray, goal_state: WaypointGoalState,
     wp = jnp.take_along_axis(waypoints, idx[..., None, None], axis=2)   # BxAxcountxMx2
     mk = jnp.take_along_axis(goal_state.mask, idx[..., None], axis=2)   # BxAxcountxM
     mk = mk & valid[..., None]
-    wp = jnp.where(mk[..., None], wp, 0.0)
+    # padding-masked waypoints keep their raw coordinates (matching
+    # `goals.py:43,79`: only out-of-range collections are zeroed)
+    wp = jnp.where(valid[..., None, None], wp, 0.0)
     return wp.reshape(b, a, count * m, 2), mk.reshape(b, a, count * m)
 
 
