@@ -511,24 +511,29 @@ class Simulator:
         """
         time = state.time + 1
         npc_time = state.npc_time + 1
-        npc_state, npc_mask = self.npc_controller.advance(
-            state.npc_state, state.npc_present_mask, npc_time, self)
+        with jax.named_scope('npc_advance'):
+            npc_state, npc_mask = self.npc_controller.advance(
+                state.npc_state, state.npc_present_mask, npc_time, self)
         km = self.kinematic_model
         from torchdrivesim_tpu import kinematic as K
         model_ids = getattr(km, 'model_assignments', None)
-        agent_state = K.step(
-            state.agent_state, agent_action, km.params,
-            model_ids=model_ids,
-            single_model=None if model_ids is not None else km.model_id)
-        tc_state = {}
-        for kind, control in (self.traffic_controls or {}).items():
-            tc_state[kind] = replay_or_hold_state(
-                state.traffic_control_state[kind], control.replay_states, time)
+        with jax.named_scope('kinematic_step'):
+            agent_state = K.step(
+                state.agent_state, agent_action, km.params,
+                model_ids=model_ids,
+                single_model=None if model_ids is not None else km.model_id)
+        with jax.named_scope('traffic_controls'):
+            tc_state = {}
+            for kind, control in (self.traffic_controls or {}).items():
+                tc_state[kind] = replay_or_hold_state(
+                    state.traffic_control_state[kind], control.replay_states,
+                    time)
         wp_state = state.waypoint_state
         if self.waypoint_goals is not None and wp_state is not None:
-            wp_state = step_waypoints(
-                self.waypoint_goals.waypoints, wp_state, agent_state,
-                threshold=self.cfg.waypoint_removal_threshold)
+            with jax.named_scope('waypoint_goals'):
+                wp_state = step_waypoints(
+                    self.waypoint_goals.waypoints, wp_state, agent_state,
+                    threshold=self.cfg.waypoint_removal_threshold)
         return SimulatorState(
             agent_state=agent_state, present_mask=state.present_mask,
             npc_state=npc_state, npc_present_mask=npc_mask,
