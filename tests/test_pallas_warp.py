@@ -1,0 +1,103 @@
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchdrivesim_tpu.ops.pallas_warp as pw
+from torchdrivesim_tpu.ops.grids import Grid2D
+from torchdrivesim_tpu.ops.rasterize import (
+    pack_texture_rgb8, sample_background_packed,
+)
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    original = pw.pl.pallas_call
+    monkeypatch.setattr(pw.pl, 'pallas_call',
+                        functools.partial(original, interpret=True))
+    yield
+
+
+def _checker_texture(h=256, w=256, cell=1.0):
+    rng = np.random.RandomState(0)
+    data = np.zeros((h, w, 3), np.float32)
+    data[..., 0] = ((np.arange(h)[:, None] // 16 + np.arange(w)[None] // 16) % 2)
+    data[..., 1] = rng.rand(h, w) > 0.5
+    data[..., 2] = np.linspace(0, 1, w)[None]
+    return Grid2D(data=jnp.asarray(data), origin=jnp.asarray([0.0, 0.0]),
+                  cell_size=cell)
+
+
+def test_mip_pyramid_shapes():
+    tex = _checker_texture()
+    levels = pw.build_mip_pyramid(tex)
+    assert len(levels) >= 2
+    # levels are padded so any 128-aligned origin has a full 256 window
+    assert levels[0].data.shape[:2] == (384, 384)
+    assert levels[0].valid_shape == (256, 256)
+    assert levels[1].valid_shape == (128, 128)
+    assert levels[1].cell_size == 2.0
+    # selection: fov such that needed cell is ~1.45 -> picks the 2.0 level
+    assert pw.select_mip(levels, fov=128.0).cell_size == 2.0
+    assert pw.select_mip(levels, fov=60.0).cell_size == 1.0
+
+
+@pytest.mark.parametrize('psi_deg,left_handed', [
+    (0, False), (30, False), (90, False), (135, False), (222, False),
+    (-45, False), (30, True), (100, True),
+])
+def test_warp_matches_xla_sampler(psi_deg, left_handed):
+    tex = _checker_texture()
+    levels = pw.build_mip_pyramid(tex)
+    mip = levels[0]  # same cell as the packed reference
+    packed = pack_texture_rgb8(tex)
+    fov = 100.0  # window 128 texels at cell 1.0 covers fov*1.45=145? no ->
+    # use fov small enough: 128 * 1.0 / 1.45 = 88
+    fov = 80.0
+    scale = 2.0 / fov
+    psi = np.deg2rad(psi_deg)
+    cam_xy = jnp.asarray([[128.0, 130.0]])
+    cam_sc = jnp.asarray([[np.sin(psi), np.cos(psi)]], dtype=jnp.float32)
+    bg = jnp.asarray([0.25, 0.5, 0.75])
+
+    got = np.asarray(pw.warp_background_pallas(
+        mip, cam_xy, cam_sc, scale, bg, left_handed=left_handed))
+    want = np.asarray(sample_background_packed(
+        packed, cam_xy, cam_sc, scale, 128, bg, left_handed=left_handed,
+        chw=True))
+    # two-pass nearest may pick a texel displaced by <= 1 from the direct
+    # nearest sample; demand high exact agreement plus a neighborhood
+    # envelope for the rest
+    tol = 1 / 255.0 + 1e-6
+    agree = np.isclose(got, want, atol=tol).all(axis=1).mean()
+    assert agree > 0.85, f"exact agreement {agree:.3f} at psi={psi_deg}"
+    from scipy.ndimage import grey_dilation, grey_erosion
+    lo_tex = Grid2D(data=jnp.asarray(np.stack([
+        grey_erosion(np.asarray(tex.data)[..., ch], size=3)
+        for ch in range(3)], -1)), origin=tex.origin, cell_size=tex.cell_size)
+    hi_tex = Grid2D(data=jnp.asarray(np.stack([
+        grey_dilation(np.asarray(tex.data)[..., ch], size=3)
+        for ch in range(3)], -1)), origin=tex.origin, cell_size=tex.cell_size)
+    lo = np.asarray(sample_background_packed(
+        pack_texture_rgb8(lo_tex), cam_xy, cam_sc, scale, 128,
+        jnp.zeros(3), left_handed=left_handed, chw=True))
+    hi = np.asarray(sample_background_packed(
+        pack_texture_rgb8(hi_tex), cam_xy, cam_sc, scale, 128,
+        jnp.ones(3), left_handed=left_handed, chw=True))
+    in_envelope = ((got >= lo - tol) & (got <= hi + tol)).all(axis=1).mean()
+    assert in_envelope > 0.999, f"envelope {in_envelope:.4f} at psi={psi_deg}"
+
+
+def test_warp_off_texture_is_background():
+    tex = _checker_texture(h=128, w=128, cell=1.0)
+    mip = pw.build_mip_pyramid(tex)[0]
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    # camera far off the texture
+    got = np.asarray(pw.warp_background_pallas(
+        mip, jnp.asarray([[4000.0, 4000.0]]),
+        jnp.asarray([[0.0, 1.0]]), 2.0 / 80, bg))
+    np.testing.assert_allclose(got[0, 0], 0.1, atol=1 / 255.0)
+    np.testing.assert_allclose(got[0, 1], 0.2, atol=1 / 255.0)
+    np.testing.assert_allclose(got[0, 2], 0.3, atol=1 / 255.0)

@@ -203,16 +203,16 @@ def boxes_overlap_sat(corners1: jnp.ndarray, corners2: jnp.ndarray) -> jnp.ndarr
         (...) bool.
     """
     def axes(corners):
-        nxt = [1, 2, 3, 0]
-        e = corners[..., nxt, :] - corners
-        # normals of the 4 edges
-        return jnp.stack([-e[..., 1], e[..., 0]], axis=-1)
+        # rectangles have two unique edge directions; two normals suffice
+        e = corners[..., [1, 2], :] - corners[..., [0, 1], :]
+        return jnp.stack([-e[..., 1], e[..., 0]], axis=-1)   # (..., 2, 2)
 
     def separated_along(axis_set, c1, c2):
-        # project both corner sets on each axis; separated if intervals
-        # don't positively overlap
-        p1 = jnp.einsum('...kd,...nd->...kn', axis_set, c1)
-        p2 = jnp.einsum('...kd,...nd->...kn', axis_set, c2)
+        # project both corner sets on each axis (explicit mul-sum: tiny
+        # batched einsum matmuls lower poorly on TPU); separated if the
+        # intervals don't positively overlap
+        p1 = jnp.sum(axis_set[..., :, None, :] * c1[..., None, :, :], axis=-1)
+        p2 = jnp.sum(axis_set[..., :, None, :] * c2[..., None, :, :], axis=-1)
         min1, max1 = jnp.min(p1, -1), jnp.max(p1, -1)
         min2, max2 = jnp.min(p2, -1), jnp.max(p2, -1)
         return jnp.any((max1 <= min2) | (max2 <= min1), axis=-1)

@@ -78,10 +78,10 @@ def collision_matrix_with_discs(boxes: jnp.ndarray, num_discs: int = 5) -> jnp.n
     batch = boxes.shape[:-2]
     a = boxes.shape[-2]
     flat = centers.reshape(batch + (a * num_discs, 2))
-    # pairwise squared distances between all discs of all agents
-    sq = jnp.sum(flat * flat, axis=-1)
-    inner = jnp.einsum('...id,...jd->...ij', flat, flat)
-    d2 = sq[..., :, None] + sq[..., None, :] - 2 * inner
+    # pairwise squared distances between all discs of all agents; explicit
+    # broadcast subtraction (K=2 batched matmuls lower poorly on TPU)
+    diff = flat[..., :, None, :] - flat[..., None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
     d2 = d2.reshape(batch + (a, num_discs, a, num_discs))
     d2 = jnp.min(jnp.min(d2, axis=-1), axis=-2)  # (..., A, A)
     d = jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-12)

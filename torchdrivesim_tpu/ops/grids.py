@@ -30,6 +30,9 @@ class Grid2D:
     data: jnp.ndarray          #: (H, W, C)
     origin: jnp.ndarray        #: (2,) world coordinates of cell (0, 0) center
     cell_size: float = struct.field(pytree_node=False, default=1.0)
+    #: true (pre-padding) extent (H, W) when ``data`` is padded for tiling
+    valid_shape: Optional[Tuple[int, int]] = struct.field(
+        pytree_node=False, default=None)
 
     @property
     def height(self):

@@ -1,0 +1,263 @@
+"""
+Pallas background-warp kernel: per-camera views of the baked map texture
+with ZERO scalar gathers.
+
+XLA lowers arbitrary gathers on TPU to scalar loops (~125M elements/s),
+which made background texture sampling the render bottleneck. This kernel
+exploits the structure of the problem: an orthographic camera view is an
+AFFINE warp of the texture, and affine warps decompose into two axis-aligned
+resampling passes (Catmull-Smith two-pass warping):
+
+1. a 256x256 window of the right mip level around each camera is DMA'd
+   HBM -> VMEM (contiguous, offsets aligned to the (8, 128) tiling);
+2. pass 1 resamples rows with ``tpu.dynamic_gather`` along lanes -- the one
+   vectorized gather Mosaic supports, applied per 128-lane slab;
+3. pass 2 transposes and lane-gathers again.
+
+Rotations near +-90 deg make the first pass ill-conditioned (the classic
+bottleneck problem); those cameras use the transposed window, selected per
+camera by coefficient magnitude (the window is square, so the transpose is
+a cheap in-VMEM op).
+
+The texture is packed RGB8-in-uint32, so each pass moves ONE 32-bit value
+per pixel; colors unpack after the final gather. Nearest-neighbor filtering
+(within one texel of the exact sample); mip cell size must satisfy
+``cell >= fov * 1.45 / 128`` so a 128-texel square covers the rotated view.
+"""
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from torchdrivesim_tpu.ops.grids import Grid2D
+
+RES = 128        #: output resolution (== TPU lane width)
+WINDOW = 256     #: texture window size (covers any rotated 128-texel view)
+
+
+def build_mip_pyramid(texture: Grid2D, max_levels: int = 6):
+    """
+    Box-filtered mip pyramid of a float RGB texture, each level packed to
+    uint32 (0x00BBGGRR) and padded so any 128-aligned window origin has a
+    full WINDOW of addressable texels.
+
+    Returns:
+        list of packed Grid2D (int32 data (H, W, 1)) from fine to coarse.
+    """
+    data = np.asarray(texture.data, dtype=np.float32)
+    origin = np.asarray(texture.origin, dtype=np.float64)
+    cell = float(texture.cell_size)
+    levels = []
+    for _ in range(max_levels):
+        h, w = data.shape[0], data.shape[1]
+        q = np.clip(np.round(data * 255.0), 0, 255).astype(np.uint32)
+        packed = (q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)).astype(np.int32)
+        pad_h = int(np.ceil(h / 128)) * 128 + (WINDOW - 128) - h
+        pad_w = int(np.ceil(w / 128)) * 128 + (WINDOW - 128) - w
+        packed = np.pad(packed, ((0, max(pad_h, 0)), (0, max(pad_w, 0))))
+        levels.append(Grid2D(data=jnp.asarray(packed)[..., None],
+                             origin=jnp.asarray(origin, jnp.float32),
+                             cell_size=cell, valid_shape=(h, w)))
+        if h // 2 < 8 or w // 2 < 8:
+            break
+        h2, w2 = (h // 2) * 2, (w // 2) * 2
+        data = data[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2, 3).mean(axis=(1, 3))
+        # cell centers of the coarser grid sit midway between fine centers
+        origin = origin + cell / 2
+        cell *= 2
+    return levels
+
+
+def select_mip(levels, fov: float):
+    """Finest level whose 128-texel square covers the rotated view."""
+    needed = fov * 1.45 / RES
+    for level in levels:
+        if level.cell_size >= needed:
+            return level
+    return levels[-1]
+
+
+def _gather_lanes_256(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """
+    Vectorized gather along lanes from a 256-wide table: two 128-lane slabs
+    combined by slab id (``tpu.dynamic_gather`` handles one vreg of lanes).
+
+    Args:
+        table: (R, 256); idx: (R, 128) int32 in [0, 256).
+    Returns:
+        (R, 128) gathered values.
+    """
+    lo = jnp.take_along_axis(table[:, :128], jnp.clip(idx, 0, 127), axis=1)
+    hi = jnp.take_along_axis(table[:, 128:], jnp.clip(idx - 128, 0, 127), axis=1)
+    return jnp.where(idx < 128, lo, hi)
+
+
+def _warp_kernel(fcoef_ref, icoef_ref, tex_ref, out_ref, win_ref, sem):
+    # per-camera scalars (origins are tile-aligned by the wrapper)
+    oy = pl.multiple_of(icoef_ref[0, 0, 0], 8)
+    ox = pl.multiple_of(icoef_ref[0, 0, 1], 128)
+    flip = icoef_ref[0, 0, 2]                    # 1 -> use transposed window
+    bg_packed = icoef_ref[0, 0, 3]
+    f = lambda k: fcoef_ref[0, 0, k]
+    va, vb, vc = f(0), f(1), f(2)
+    ha, hb, hc = f(3), f(4), f(5)
+    ty_a, ty_b, ty_c = f(6), f(7), f(8)
+    tx_a, tx_b, tx_c = f(9), f(10), f(11)
+    h_tex, w_tex = f(12), f(13)
+
+    dma = pltpu.make_async_copy(
+        tex_ref.at[pl.ds(oy, WINDOW), pl.ds(ox, WINDOW)], win_ref, sem)
+    dma.start()
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 1).astype(jnp.float32)
+    rows256 = jax.lax.broadcasted_iota(
+        jnp.int32, (WINDOW, RES), 0).astype(jnp.float32)
+    cols256 = jax.lax.broadcasted_iota(
+        jnp.int32, (WINDOW, RES), 1).astype(jnp.float32)
+
+    # pass-1 indices on the (window-row, output-col) grid: h(r', c)
+    h_idx = jnp.floor(ha * rows256 + hb * cols256 + hc + 0.5).astype(jnp.int32)
+    h_idx = jnp.clip(h_idx, 0, WINDOW - 1)
+    # pass-2 indices on the TRANSPOSED output grid (dim0 = c, dim1 = r):
+    # v(r, c) with r = cols iota, c = rows iota
+    v_idx_t = jnp.floor(va * cols + vb * rows + vc + 0.5).astype(jnp.int32)
+    v_idx_t = jnp.clip(v_idx_t, 0, WINDOW - 1)
+    # validity in TEXTURE coordinates, evaluated at output (r, c)
+    ty = ty_a * rows + ty_b * cols + ty_c
+    tx = tx_a * rows + tx_b * cols + tx_c
+    valid = (ty >= 0) & (ty < h_tex) & (tx >= 0) & (tx < w_tex)
+
+    dma.wait()
+    window = win_ref[...]                        # (256, 256)
+    window = jnp.where(flip == 1, window.T, window)
+
+    tmp = _gather_lanes_256(window, h_idx)       # (256, 128)
+    out_t = _gather_lanes_256(tmp.T, v_idx_t)    # (128, 128), transposed
+    packed = out_t.T
+    packed = jnp.where(valid, packed, bg_packed)
+
+    inv255 = 1.0 / 255.0
+    out_ref[0, 0] = (packed & 0xFF).astype(jnp.float32) * inv255
+    out_ref[0, 1] = ((packed >> 8) & 0xFF).astype(jnp.float32) * inv255
+    out_ref[0, 2] = ((packed >> 16) & 0xFF).astype(jnp.float32) * inv255
+
+
+def warp_background_pallas(mip: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray,
+                           scale: float, background_color: jnp.ndarray,
+                           left_handed: bool = False) -> jnp.ndarray:
+    """
+    Per-camera background views via the two-pass affine warp kernel.
+
+    Args:
+        mip: packed int32 texture level (see :func:`build_mip_pyramid`);
+            ``mip.cell_size`` must be >= fov * 1.45 / 128.
+        cam_xy: (B, 2); cam_sc: (B, 2) (sin, cos); scale: 2 / fov.
+        background_color: (3,) in [0, 1] for off-map pixels.
+    Returns:
+        (B, 3, 128, 128) float image in [0, 1].
+    """
+    b = cam_xy.shape[0]
+    res = RES
+    half = res / 2.0
+    ppm = scale * half                      # output pixels per meter
+    cell = float(mip.cell_size)
+    h_pad = mip.data.shape[0]
+    w_pad = mip.data.shape[1]
+    sin = cam_sc[:, 0]
+    cos = cam_sc[:, 1]
+    lh = -1.0 if left_handed else 1.0
+
+    # texture coordinates of output pixel (r, c), pixel centers at +0.5:
+    #   forward = (half - (r+.5))/ppm ; left = lh*(half - (c+.5))/ppm
+    #   world = cam + R(psi) @ (forward, left)
+    #   ty/tx = (world_y/x - origin_y/x) / cell   (ty ~ texture row)
+    m = 1.0 / (ppm * cell)
+    h0 = half - 0.5
+    a_y = -sin * m
+    b_y = -lh * cos * m
+    a_x = -cos * m
+    b_x = lh * sin * m
+    origin = mip.origin
+    e_y = (cam_xy[:, 1] - origin[1]) / cell + m * h0 * (sin + lh * cos)
+    e_x = (cam_xy[:, 0] - origin[0]) / cell + m * h0 * (cos - lh * sin)
+
+    # 128-aligned window origins such that the camera center lands within
+    # 64 texels of the window center (the view half-extent is <= 63 texels
+    # by the select_mip contract)
+    cy = (cam_xy[:, 1] - origin[1]) / cell
+    cx = (cam_xy[:, 0] - origin[0]) / cell
+    oy = 128 * jnp.round((cy - 128.0) / 128.0).astype(jnp.int32)
+    ox = 128 * jnp.round((cx - 128.0) / 128.0).astype(jnp.int32)
+    oy = jnp.clip(oy, 0, max(h_pad - WINDOW, 0))
+    ox = jnp.clip(ox, 0, max(w_pad - WINDOW, 0))
+
+    # window coordinates: yw = ty - oy, xw = tx - ox
+    a1, b1 = a_y, b_y
+    e1 = e_y - oy.astype(jnp.float32)
+    a2, b2 = a_x, b_x
+    e2 = e_x - ox.astype(jnp.float32)
+
+    # two-pass decomposition out[r,c] = W[v(r,c), h(v(r,c), c)]:
+    #   standard branch:  v = yw ;  h(r',c) = (a2/a1) r' + (b2 - a2 b1/a1) c
+    #                                         + (e2 - a2 e1/a1)
+    #   flipped branch (|a1| < |a2|): transpose the window and swap roles
+    use_flip = jnp.abs(a1) < jnp.abs(a2)
+    pa1 = jnp.where(use_flip, a2, a1)
+    pb1 = jnp.where(use_flip, b2, b1)
+    pe1 = jnp.where(use_flip, e2, e1)
+    pa2 = jnp.where(use_flip, a1, a2)
+    pb2 = jnp.where(use_flip, b1, b2)
+    pe2 = jnp.where(use_flip, e1, e2)
+    safe = jnp.where(jnp.abs(pa1) < 1e-9, 1e-9, pa1)
+    h_a = pa2 / safe
+    h_b = pb2 - pa2 * pb1 / safe
+    h_c = pe2 - pa2 * pe1 / safe
+    # v(r, c) = pa1 r + pb1 c + pe1; the kernel evaluates it on the
+    # TRANSPOSED output grid where dim0 = c and dim1 = r
+    v_a = pa1                              # multiplies the 'cols' iota (= r)
+    v_b = pb1                              # multiplies the 'rows' iota (= c)
+    v_c = pe1
+
+    bg = jnp.clip(jnp.asarray(background_color) * 255.0, 0, 255).astype(jnp.uint32)
+    bg_packed = (bg[0] | (bg[1] << 8) | (bg[2] << 16)).astype(jnp.int32)
+
+    # true (unpadded) texture bounds for the validity mask
+    valid = mip.valid_shape or (h_pad, w_pad)
+    h_tex = float(valid[0])
+    w_tex = float(valid[1])
+
+    fcoef = jnp.stack([
+        v_a, v_b, v_c, h_a, h_b, h_c,
+        jnp.broadcast_to(a_y, (b,)), jnp.broadcast_to(b_y, (b,)), e_y,
+        jnp.broadcast_to(a_x, (b,)), jnp.broadcast_to(b_x, (b,)), e_x,
+        jnp.full((b,), h_tex), jnp.full((b,), w_tex),
+    ], axis=-1).astype(jnp.float32)[:, None, :]            # (B, 1, 14)
+    icoef = jnp.stack([
+        oy, ox, use_flip.astype(jnp.int32),
+        jnp.broadcast_to(bg_packed, (b,)),
+    ], axis=-1).astype(jnp.int32)[:, None, :]              # (B, 1, 4)
+
+    out = pl.pallas_call(
+        _warp_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 14), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 3, res, res), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 3, res, res), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((WINDOW, WINDOW), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(fcoef, icoef, mip.data[..., 0])
+    return out

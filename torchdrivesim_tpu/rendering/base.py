@@ -56,10 +56,10 @@ class JaxRendererConfig(RendererConfig):
     background_downsample: int = 1    #: sample the baked background at
         # res/downsample and upsample on-chip (fast path only; reduces TPU
         # gather count quadratically at the cost of background sharpness)
-    use_pallas: bool = False          #: use the MXU Pallas rasterizer kernel
-        # (ops/pallas_rasterize.py) instead of the XLA path on TPU; currently
-        # at parity with the XLA rasterizer end-to-end (the render hot spot
-        # is background texture gathers, not face coverage math)
+    use_pallas: bool = True           #: on TPU, use the Pallas kernels: the
+        # MXU rasterizer (ops/pallas_rasterize.py) and, at res=128 with a
+        # baked texture, the two-pass affine background warp
+        # (ops/pallas_warp.py) that replaces XLA's scalar-loop gathers
 
 
 class Cameras:

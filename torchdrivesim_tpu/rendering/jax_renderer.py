@@ -60,11 +60,16 @@ class JaxRenderer(BirdviewRenderer):
         self._background_texture = texture
         self._packed_texture = pack_texture_rgb8(texture) \
             if texture is not None else None
+        self._mip_pyramid = None
+        if texture is not None and _on_tpu():
+            from torchdrivesim_tpu.ops.pallas_warp import build_mip_pyramid
+            self._mip_pyramid = build_mip_pyramid(texture)
 
     def copy(self):
         other = super().copy()
         other._background_texture = self._background_texture
         other._packed_texture = self._packed_texture
+        other._mip_pyramid = getattr(self, '_mip_pyramid', None)
         return other
 
     def _use_pallas(self, res: int) -> bool:
@@ -93,7 +98,16 @@ class JaxRenderer(BirdviewRenderer):
                          and background_texture is None)
 
         # background, in the layout the chosen rasterizer wants
-        if texture is not None:
+        use_warp = (fast_sampling and use_pallas and size == 128
+                    and getattr(self, '_mip_pyramid', None) is not None)
+        if use_warp:
+            from torchdrivesim_tpu.ops.pallas_warp import (
+                select_mip, warp_background_pallas)
+            mip = select_mip(self._mip_pyramid, fov=2.0 / scale)
+            background = warp_background_pallas(
+                mip, cam_xy, cam_sc, scale, bg_color,
+                left_handed=self.cfg.left_handed_coordinates)
+        elif texture is not None:
             if fast_sampling:
                 background = sample_background_packed(
                     self._packed_texture, cam_xy, cam_sc, scale, size, bg_color,
