@@ -114,21 +114,34 @@ class BenchmarkScenario:
                     [state.agent_state, state.npc_state], axis=-2)
                 present = jnp.concatenate(
                     [state.present_mask, state.npc_present_mask], axis=-1)
-                mesh = gen.generate(
-                    1, agent_state=all_state[:, None],
-                    present_mask=present[:, None],
-                    traffic_light_state=light_state,
-                    include_background=renderer.background_texture is None)
                 ego = state.agent_state[:, 0]
                 cam_xy = ego[:, :2]
                 cam_sc = jnp.stack([jnp.sin(ego[:, 2]), jnp.cos(ego[:, 2])],
                                    axis=-1)
                 from torchdrivesim_tpu.rendering.base import Cameras
                 cameras = Cameras(cam_xy, cam_sc, 2.0 / self.fov)
-                if hasattr(renderer, 'render_rgb_mesh_chw'):
+                if (hasattr(renderer, 'render_faces_chw')
+                        and renderer.background_texture is not None):
+                    # gather-free face-soup fast path
+                    corners, zf, colors = gen.generate_faces(
+                        all_state, present_mask=present,
+                        traffic_light_state=light_state)
+                    image = renderer.render_faces_chw(
+                        corners, zf, colors, Resolution(res, res), cameras)
+                elif hasattr(renderer, 'render_rgb_mesh_chw'):
+                    mesh = gen.generate(
+                        1, agent_state=all_state[:, None],
+                        present_mask=present[:, None],
+                        traffic_light_state=light_state,
+                        include_background=renderer.background_texture is None)
                     image = renderer.render_rgb_mesh_chw(
                         mesh, Resolution(res, res), cameras)
                 else:
+                    mesh = gen.generate(
+                        1, agent_state=all_state[:, None],
+                        present_mask=present[:, None],
+                        traffic_light_state=light_state,
+                        include_background=True)
                     image = renderer.render_rgb_mesh(
                         mesh, Resolution(res, res), cameras)
                 outputs['image'] = image

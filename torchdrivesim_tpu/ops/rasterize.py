@@ -173,6 +173,18 @@ def rasterize_hard(verts: jnp.ndarray, faces: jnp.ndarray, attrs: jnp.ndarray,
     corners, z, color = _face_arrays(verts, faces, attrs)
     if cull_to:
         corners, z, color = cull_faces_to_view(corners, z, color, res, cull_to)
+    return rasterize_hard_faces(corners, z, color, res, background,
+                                face_chunk=face_chunk)
+
+
+def rasterize_hard_faces(corners: jnp.ndarray, z: jnp.ndarray,
+                         color: jnp.ndarray, res: int, background: jnp.ndarray,
+                         face_chunk: int = 16) -> jnp.ndarray:
+    """
+    Hard rasterization from per-face arrays (corners (B, F, 3, 2) in screen
+    space, z (B, F), color (B, F, 3)); see :func:`rasterize_hard`.
+    """
+    b = corners.shape[0]
     pad = (-corners.shape[1]) % face_chunk
     if pad:
         corners = jnp.concatenate(
@@ -185,7 +197,7 @@ def rasterize_hard(verts: jnp.ndarray, faces: jnp.ndarray, attrs: jnp.ndarray,
     z = jnp.moveaxis(z.reshape(b, n_chunks, face_chunk), 1, 0)
     color = jnp.moveaxis(color.reshape(b, n_chunks, face_chunk, 3), 1, 0)
 
-    coords = jnp.arange(res, dtype=verts.dtype) + 0.5
+    coords = jnp.arange(res, dtype=corners.dtype) + 0.5
     px = jnp.broadcast_to(coords[:, None], (res, res))  # row coordinate
     py = jnp.broadcast_to(coords[None, :], (res, res))  # col coordinate
 
@@ -201,7 +213,7 @@ def rasterize_hard(verts: jnp.ndarray, faces: jnp.ndarray, attrs: jnp.ndarray,
                                    ccol[:, f, None, None, :], best_color)
         return (best_z, best_color), None
 
-    init = (jnp.full((b, res, res), BIG_Z, verts.dtype), background)
+    init = (jnp.full((b, res, res), BIG_Z, corners.dtype), background)
     (best_z, best_color), _ = jax.lax.scan(body, init, (corners, z, color))
     return best_color
 

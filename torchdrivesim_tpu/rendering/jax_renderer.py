@@ -147,6 +147,59 @@ class JaxRenderer(BirdviewRenderer):
                                face_chunk=self.cfg.face_chunk, cull_to=cull)
         return jnp.transpose(image, (0, 3, 1, 2)) * 255.0
 
+    def render_faces_chw(self, corners: jnp.ndarray, z: jnp.ndarray,
+                         colors: jnp.ndarray, res: Resolution,
+                         cameras: Cameras) -> jnp.ndarray:
+        """
+        Render a dynamic face set (world-space corners (B, F, 3, 2),
+        priorities z (B, F), flat colors (B, F, 3)) composited over the baked
+        background -- the gather-free fast path (pairs with
+        ``BirdviewRGBMeshGenerator.generate_faces``).
+
+        Returns:
+            (B, 3, H, W) float image in [0, 255].
+        """
+        assert res.width == res.height
+        size = res.width
+        b, f = z.shape
+        cam_xy, cam_sc, scale = cameras.xy, cameras.sc, cameras.scale
+        bg_color = jnp.asarray(self.get_color('background'), jnp.float32) / 255.0
+        use_pallas = self._use_pallas(size)
+        if (use_pallas and size == 128
+                and getattr(self, '_mip_pyramid', None) is not None):
+            from torchdrivesim_tpu.ops.pallas_warp import (
+                select_mip, warp_background_pallas)
+            mip = select_mip(self._mip_pyramid, fov=2.0 / scale)
+            background = warp_background_pallas(
+                mip, cam_xy, cam_sc, scale, bg_color,
+                left_handed=self.cfg.left_handed_coordinates)
+        elif self._packed_texture is not None:
+            background = sample_background_packed(
+                self._packed_texture, cam_xy, cam_sc, scale, size, bg_color,
+                left_handed=self.cfg.left_handed_coordinates,
+                downsample=self.cfg.background_downsample, chw=True)
+        else:
+            background = jnp.broadcast_to(
+                bg_color[None, :, None, None], (b, 3, size, size))
+        rc = camera_rows_cols(corners.reshape(b, f * 3, 2), cam_xy, cam_sc,
+                              scale, size,
+                              left_handed=self.cfg.left_handed_coordinates)
+        sc_corners = rc.reshape(b, f, 3, 2)
+        if self.cfg.cull_max_faces:
+            sc_corners, z, colors = cull_faces_to_view(
+                sc_corners, z, colors, size, self.cfg.cull_max_faces)
+        if use_pallas:
+            from torchdrivesim_tpu.ops.pallas_rasterize import rasterize_hard_pallas
+            image = rasterize_hard_pallas(sc_corners, z, colors, size,
+                                          background)
+        else:
+            from torchdrivesim_tpu.ops.rasterize import rasterize_hard_faces
+            hwc = jnp.transpose(background, (0, 2, 3, 1))
+            image = rasterize_hard_faces(sc_corners, z, colors, size, hwc,
+                                         face_chunk=self.cfg.face_chunk)
+            image = jnp.transpose(image, (0, 3, 1, 2))
+        return image * 255.0
+
     def render_rgb_mesh(self, mesh: RGBMesh, res: Resolution, cameras: Cameras,
                         background_texture: Optional[Grid2D] = None) -> jnp.ndarray:
         """(B, H, W, 3) float image in [0, 255] (ABC-compatible layout)."""

@@ -351,3 +351,75 @@ class BirdviewRGBMeshGenerator:
             meshes.append(RGBMesh(verts=wverts, faces=wfaces, attrs=wattrs))
 
         return RGBMesh.concat(meshes)
+
+    # --- face-soup generation (gather-free fast path) ---------------------------
+
+    def generate_faces(self, agent_state: jnp.ndarray,
+                       present_mask: Optional[jnp.ndarray] = None,
+                       traffic_light_state: Optional[jnp.ndarray] = None,
+                       waypoints: Optional[jnp.ndarray] = None,
+                       waypoints_rendering_mask: Optional[jnp.ndarray] = None):
+        """
+        Per-frame dynamic scene as FACE ARRAYS, with only static indexing --
+        the gather-free fast path for the Pallas rasterizer (per-camera
+        ``take_along_axis`` over mesh vertices was costing more than the
+        rasterization itself on TPU).
+
+        Args:
+            agent_state: (B, All, 4); present_mask: (B, All).
+            traffic_light_state: (B, Nl) indices into light states.
+            waypoints: (B, M, 2); waypoints_rendering_mask: (B, M).
+        Returns:
+            (corners (B, F, 3, 2) world space, z (B, F), colors (B, F, 3));
+            absent agents' faces are degenerate (all-zero corners).
+        """
+        b, n_all = agent_state.shape[0], agent_state.shape[1]
+        parts = []
+
+        local = self.actor_verts                   # (B, All, S, 2) template
+        psi = agent_state[..., 2:3][..., None]
+        xy = agent_state[..., :2][..., None, :]
+        world = rotate(local, psi) + xy            # (B, All, S, 2)
+        if self.render_agent_direction:
+            face_idx = np.asarray([[0, 1, 3], [1, 3, 2], [4, 5, 6]])
+        else:
+            face_idx = np.asarray([[0, 1, 3], [1, 3, 2]])
+        fpa = face_idx.shape[0]                    # faces per agent
+        corners = world[:, :, face_idx]            # (B, All, fpa, 3, 2) static
+        z = self.actor_z[:, :, face_idx[:, 0]]     # (B, All, fpa)
+        colors = self.actor_attrs[:, :, face_idx[:, 0]]  # (B, All, fpa, 3)
+        if present_mask is not None:
+            corners = jnp.where(present_mask[..., None, None, None], corners, 0.0)
+        parts.append((corners.reshape(b, n_all * fpa, 3, 2),
+                      jnp.broadcast_to(z, (b, n_all, fpa)).reshape(b, n_all * fpa),
+                      jnp.broadcast_to(colors, (b, n_all, fpa, 3))
+                      .reshape(b, n_all * fpa, 3)))
+
+        if self.light_verts is not None and traffic_light_state is not None:
+            nl = self.light_verts.shape[1]
+            lf = np.asarray([[0, 1, 3], [1, 3, 2]])
+            lcorners = self.light_verts[:, :, lf]          # (B, Nl, 2, 3, 2)
+            lz = jnp.full((b, nl, 2), self.light_z)
+            lcol = self.light_color_table[traffic_light_state]  # (B, Nl, 3)
+            lcol = jnp.broadcast_to(lcol[:, :, None, :], (b, nl, 2, 3))
+            parts.append((lcorners.reshape(b, nl * 2, 3, 2),
+                          lz.reshape(b, nl * 2), lcol.reshape(b, nl * 2, 3)))
+
+        if waypoints is not None:
+            m = waypoints.shape[1]
+            vd_faces = np.asarray(self.waypoint_template_faces)      # (Fd, 3)
+            tri = jnp.asarray(self.waypoint_template_verts)[vd_faces]  # (Fd,3,2)
+            wcorners = tri[None, None] + waypoints[:, :, None, None, :]
+            if waypoints_rendering_mask is not None:
+                wcorners = jnp.where(
+                    waypoints_rendering_mask[..., None, None, None],
+                    wcorners, 0.0)
+            fd = vd_faces.shape[0]
+            wz = jnp.full((b, m * fd), self.waypoint_z)
+            wcol = jnp.broadcast_to(self.waypoint_color, (b, m * fd, 3))
+            parts.append((wcorners.reshape(b, m * fd, 3, 2), wz, wcol))
+
+        corners = jnp.concatenate([p[0] for p in parts], axis=1)
+        z = jnp.concatenate([p[1] for p in parts], axis=1)
+        colors = jnp.concatenate([p[2] for p in parts], axis=1)
+        return corners, z, colors
