@@ -376,7 +376,19 @@ class BirdviewRGBMeshGenerator:
         b, n_all = agent_state.shape[0], agent_state.shape[1]
         parts = []
 
-        local = self.actor_verts                   # (B, All, S, 2) template
+        local = self.actor_verts                   # (Bt, All, S, 2) template
+        actor_z = self.actor_z
+        actor_attrs = self.actor_attrs
+        light_verts = self.light_verts
+        if local.shape[0] != b:
+            # multi-camera flattening: each template batch element repeats
+            # contiguously for its cameras (layout index = b * Nc + cam)
+            reps = b // local.shape[0]
+            local = jnp.repeat(local, reps, axis=0)
+            actor_z = jnp.repeat(actor_z, reps, axis=0)
+            actor_attrs = jnp.repeat(actor_attrs, reps, axis=0)
+            if light_verts is not None:
+                light_verts = jnp.repeat(light_verts, reps, axis=0)
         psi = agent_state[..., 2:3][..., None]
         xy = agent_state[..., :2][..., None, :]
         world = rotate(local, psi) + xy            # (B, All, S, 2)
@@ -386,8 +398,8 @@ class BirdviewRGBMeshGenerator:
             face_idx = np.asarray([[0, 1, 3], [1, 3, 2]])
         fpa = face_idx.shape[0]                    # faces per agent
         corners = world[:, :, face_idx]            # (B, All, fpa, 3, 2) static
-        z = self.actor_z[:, :, face_idx[:, 0]]     # (B, All, fpa)
-        colors = self.actor_attrs[:, :, face_idx[:, 0]]  # (B, All, fpa, 3)
+        z = actor_z[:, :, face_idx[:, 0]]          # (B, All, fpa)
+        colors = actor_attrs[:, :, face_idx[:, 0]]  # (B, All, fpa, 3)
         if present_mask is not None:
             corners = jnp.where(present_mask[..., None, None, None], corners, 0.0)
         parts.append((corners.reshape(b, n_all * fpa, 3, 2),
@@ -395,10 +407,10 @@ class BirdviewRGBMeshGenerator:
                       jnp.broadcast_to(colors, (b, n_all, fpa, 3))
                       .reshape(b, n_all * fpa, 3)))
 
-        if self.light_verts is not None and traffic_light_state is not None:
-            nl = self.light_verts.shape[1]
+        if light_verts is not None and traffic_light_state is not None:
+            nl = light_verts.shape[1]
             lf = np.asarray([[0, 1, 3], [1, 3, 2]])
-            lcorners = self.light_verts[:, :, lf]          # (B, Nl, 2, 3, 2)
+            lcorners = light_verts[:, :, lf]               # (B, Nl, 2, 3, 2)
             lz = jnp.full((b, nl, 2), self.light_z)
             lcol = self.light_color_table[traffic_light_state]  # (B, Nl, 3)
             lcol = jnp.broadcast_to(lcol[:, :, None, :], (b, nl, 2, 3))

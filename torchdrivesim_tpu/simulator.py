@@ -863,10 +863,50 @@ class Simulator:
             generator = self._noisy_mesh_generator()
 
         light_state = self.state.traffic_control_state.get('traffic_light')
+        res_used = res or self.renderer.res
+        n_all = self.agent_count + self.npc_count
+
+        # gather-free fast path: face soup + Pallas raster over the baked
+        # background (no custom colors / noisy perception support there)
+        fast = (hasattr(self.renderer, 'render_faces_chw')
+                and getattr(self.renderer, 'background_texture', None) is not None
+                and custom_agent_colors is None and not noisy_perception)
+        if fast:
+            from torchdrivesim_tpu.rendering.base import Cameras
+            states_flat = jnp.broadcast_to(
+                self.get_all_agent_state()[:, None],
+                (self.batch_size, n_cameras, n_all, 4)
+            ).reshape(self.batch_size * n_cameras, n_all, 4)
+            masks_flat = rendering_mask.reshape(
+                self.batch_size * n_cameras, n_all)
+            lights_flat = None
+            if light_state is not None:
+                lights_flat = jnp.broadcast_to(
+                    light_state[:, None],
+                    (self.batch_size, n_cameras) + light_state.shape[1:]
+                ).reshape((self.batch_size * n_cameras,) + light_state.shape[1:])
+            wps_flat = waypoints.reshape(self.batch_size * n_cameras,
+                                         *waypoints.shape[2:]) \
+                if waypoints is not None else None
+            wpm_flat = waypoints_rendering_mask.reshape(
+                self.batch_size * n_cameras, -1) \
+                if waypoints_rendering_mask is not None else None
+            corners, zf, colors = generator.generate_faces(
+                states_flat, present_mask=masks_flat,
+                traffic_light_state=lights_flat, waypoints=wps_flat,
+                waypoints_rendering_mask=wpm_flat)
+            scale = (2.0 / fov) if fov is not None else self.renderer.scale
+            image = self.renderer.render_faces_chw(
+                corners, zf, colors, res_used,
+                Cameras(camera_xy.reshape(-1, 2), camera_sc.reshape(-1, 2),
+                        scale))
+            return image.reshape(self.batch_size, n_cameras, 3,
+                                 res_used.height, res_used.width)
+
         include_background = getattr(self.renderer, 'background_texture', None) is None
         agent_state = jnp.broadcast_to(
             self.get_all_agent_state()[:, None],
-            (self.batch_size, n_cameras, self.agent_count + self.npc_count, 4))
+            (self.batch_size, n_cameras, n_all, 4))
         rgb_mesh = generator.generate(
             n_cameras, agent_state=agent_state, present_mask=rendering_mask,
             traffic_light_state=light_state, waypoints=waypoints,
@@ -875,7 +915,6 @@ class Simulator:
             include_background=include_background)
         image = self.renderer.render_frame(rgb_mesh, camera_xy, camera_sc,
                                            res=res, fov=fov)
-        res_used = res or self.renderer.res
         return image.reshape(self.batch_size, n_cameras, 3,
                              res_used.height, res_used.width)
 
