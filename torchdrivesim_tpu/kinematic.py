@@ -391,6 +391,27 @@ class KinematicModel:
     def state_size(self) -> int:
         return STATE_SIZE
 
+    @property
+    def batch_size(self) -> int:
+        return int(np.prod(self.state.shape[:-1])) if self.state is not None else 0
+
+    pack_state = staticmethod(pack_state)
+    unpack_state = staticmethod(unpack_state)
+
+    def flattening(self, batch_shape) -> None:
+        """Flatten batch dims of per-agent params (ref: `kinematic.py:105`)."""
+        if self.params.lr.ndim > 1:
+            self.params = self.params.replace(lr=self.params.lr.reshape(-1))
+
+    def unflattening(self, batch_shape) -> None:
+        if self.params.lr.ndim >= 1:
+            self.params = self.params.replace(
+                lr=self.params.lr.reshape(tuple(batch_shape)))
+
+    def map_param(self, f) -> None:
+        """Apply a function to per-agent params (ref: `kinematic.py:117`)."""
+        self.params = self.params.replace(lr=f(self.params.lr))
+
     def set_state(self, state):
         self.state = jnp.asarray(state)
 
@@ -524,6 +545,15 @@ class CompoundKinematicModel(KinematicModel):
     @property
     def action_size(self) -> int:
         return ACTION_BUF
+
+    @property
+    def batch_assignments(self) -> jnp.ndarray:
+        """Flattened model ids (ref: `kinematic.py:186`)."""
+        return self.model_assignments.reshape(-1)
+
+    @property
+    def batch_shape(self):
+        return self.model_assignments.shape
 
     def step(self, action, dt=None):
         self.state = step(self.state, jnp.asarray(action), self.params,

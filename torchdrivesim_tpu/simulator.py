@@ -201,7 +201,33 @@ class NPCController:
         """
         return self.spawn_controller.apply(npc_state, npc_present_mask, time)
 
-    # --- legacy attribute views ------------------------------------------------
+    # --- legacy attribute views / mutating conveniences ------------------------
+
+    def advance_npcs(self, simulator: "Simulator") -> None:
+        """Mutating convenience matching the reference flow
+        (`simulator.py:166`): advances NPC state inside the simulator."""
+        s = simulator.state
+        npc_state, npc_mask = self.advance(
+            s.npc_state, s.npc_present_mask, s.npc_time + 1, simulator)
+        simulator.state = s.replace(npc_state=npc_state,
+                                    npc_present_mask=npc_mask,
+                                    npc_time=s.npc_time + 1)
+
+    def spawn_despawn_npcs(self, simulator: "Simulator") -> None:
+        """Apply only the spawn controller (ref: `simulator.py:162`)."""
+        s = simulator.state
+        npc_state, npc_mask = self.spawn_controller.apply(
+            s.npc_state, s.npc_present_mask, s.npc_time)
+        simulator.state = s.replace(npc_state=npc_state,
+                                    npc_present_mask=npc_mask)
+
+    def get_npc_state(self):
+        """The controller's initial NPC states; live states are on
+        `SimulatorState.npc_state`."""
+        return self.initial_npc_state
+
+    def get_npc_present_mask(self):
+        return self.initial_npc_present_mask
 
     def get_npc_size(self):
         return self.npc_size
@@ -317,6 +343,11 @@ class CompoundNPCController(NPCController):
             out_state = jnp.where(sel[..., None], s, out_state)
             out_mask = jnp.where(sel, m, out_mask)
         return out_state, out_mask
+
+    def gather_npc_states(self):
+        """No-op kept for API familiarity (ref: `simulator.py:229`): the
+        functional `advance` merges sub-controller outputs directly."""
+        return None
 
     def copy(self):
         return self.__class__([c.copy() for c in self.controllers],
