@@ -112,7 +112,7 @@ class MapConfig:
         base = self.mesh_path or self.lanelet_path
         if base is None:
             return None
-        return os.path.join(os.path.dirname(base), f'{self.name}_tpu_grids.npz')
+        return os.path.join(os.path.dirname(base), f'{self.name}_tpu_grids_v2.npz')
 
     def grids(self, cell_size: float = 0.4, bake_if_missing: bool = True):
         """

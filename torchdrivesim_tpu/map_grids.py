@@ -35,11 +35,17 @@ if TYPE_CHECKING:
 DIRECTION_LAYERS = 4
 
 
+#: sentinel byte marking an empty direction layer in the packed grid
+DIRECTION_INVALID = 255
+
+
 @struct.dataclass
 class MapGrids:
     """Baked fields for one map (batchable by stacking as PyTree leaves)."""
     distance: Grid2D              #: (H, W, 1) distance to road surface, meters
-    direction: Optional[Grid2D]   #: (H, W, K*3): per layer (cos, sin, valid)
+    direction: Optional[Grid2D]   #: (H, W, 1) int32: 4 packed 8-bit angles
+        # (byte k = layer k; 0..254 quantize [-pi, pi); 255 = invalid) --
+        # one gather per wrong-way query instead of a 12-float slice
 
     def save(self, path: str):
         arrays = {
@@ -49,7 +55,7 @@ class MapGrids:
         }
         if self.direction is not None:
             arrays.update({
-                'direction': np.asarray(self.direction.data, dtype=np.float16),
+                'direction': np.asarray(self.direction.data, dtype=np.int32),
                 'direction_origin': np.asarray(self.direction.origin, dtype=np.float64),
                 'direction_cell': np.asarray(self.direction.cell_size),
             })
@@ -65,7 +71,7 @@ def load_map_grids(path: str) -> MapGrids:
         direction = None
         if 'direction' in data:
             direction = Grid2D(
-                data=jnp.asarray(data['direction'].astype(np.float32)),
+                data=jnp.asarray(data['direction'].astype(np.int32)),
                 origin=jnp.asarray(data['direction_origin'].astype(np.float32)),
                 cell_size=float(data['direction_cell']))
     return MapGrids(distance=distance, direction=direction)
@@ -90,7 +96,9 @@ def sample_offroad_distance(grids: MapGrids, points: jnp.ndarray) -> jnp.ndarray
 
 def sample_lane_directions(grids: MapGrids, points: jnp.ndarray):
     """
-    Candidate lane directions at world points.
+    Candidate lane directions at world points: ONE int32 gather per point,
+    unpacked to K quantized angles (1.4-degree resolution, far below the
+    pi/2 wrong-way threshold).
 
     Returns:
         (cos (..., K), sin (..., K), valid (..., K) bool); all-invalid when
@@ -100,12 +108,17 @@ def sample_lane_directions(grids: MapGrids, points: jnp.ndarray):
         shape = points.shape[:-1] + (DIRECTION_LAYERS,)
         z = jnp.zeros(shape)
         return z, z, jnp.zeros(shape, dtype=bool)
-    raw = nearest_sample(grids.direction, points, fill_value=0.0)
-    k = DIRECTION_LAYERS
-    cos = raw[..., 0:k]
-    sin = raw[..., k:2 * k]
-    valid = raw[..., 2 * k:3 * k] > 0.5
-    return cos, sin, valid
+    all_invalid = jnp.asarray(np.uint32(
+        sum(DIRECTION_INVALID << (8 * k) for k in range(DIRECTION_LAYERS))
+    ).astype(np.int32))
+    packed = nearest_sample(grids.direction, points,
+                            fill_value=all_invalid)[..., 0]
+    shifts = jnp.asarray([8 * k for k in range(DIRECTION_LAYERS)],
+                         dtype=jnp.int32)
+    q = (packed[..., None] >> shifts) & 0xFF
+    valid = q != DIRECTION_INVALID
+    angle = q.astype(jnp.float32) / 254.0 * (2 * jnp.pi) - jnp.pi
+    return jnp.cos(angle), jnp.sin(angle), valid
 
 
 def wrong_way_loss_from_grid(grids: MapGrids, agent_states: jnp.ndarray,
@@ -235,7 +248,15 @@ def _bake_direction(lanelet_map, distance: Grid2D, cell_size: float,
         valid[iy, ix, slot] = 1.0
         count[iy, ix] += 1
 
-    data = np.concatenate([cos_arr, sin_arr, valid], axis=-1)
+    # pack the K layers into one int32 per cell (byte k = layer k)
+    angles = np.arctan2(sin_arr, cos_arr)
+    q = np.round((angles + np.pi) / (2 * np.pi) * 254.0).astype(np.int64)
+    q = np.clip(q, 0, 254)
+    q = np.where(valid > 0.5, q, DIRECTION_INVALID)
+    packed = np.zeros(q.shape[:2], dtype=np.int64)
+    for layer in range(k):
+        packed |= q[..., layer] << (8 * layer)
+    data = packed.astype(np.int32)[..., None]
     return Grid2D(data=jnp.asarray(data),
                   origin=jnp.asarray(origin, dtype=jnp.float32),
                   cell_size=float(cell_size))
