@@ -1,0 +1,241 @@
+"""
+END-TO-END simulation parity: identical scenarios stepped through the
+reference PyTorch Simulator (CPU, dummy renderer) and through this
+framework, comparing states, infractions, traffic controls, waypoints, and
+observation transforms step by step.
+"""
+import os
+import sys
+import types
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REFERENCE = '/root/reference'
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, 'torchdrivesim')),
+    reason='reference checkout not available')
+
+if os.path.isdir(os.path.join(REFERENCE, 'torchdrivesim')):
+    sys.path.append(REFERENCE)
+    for name in ['shapely', 'shapely.geometry']:
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules['shapely.geometry'].Polygon = object
+    if 'omegaconf' not in sys.modules:
+        om = types.ModuleType('omegaconf')
+        om.DictConfig = dict
+        om.OmegaConf = types.SimpleNamespace(
+            to_container=lambda *a, **k: {}, structured=lambda x: x)
+        om.SCMode = types.SimpleNamespace(INSTANTIATE=None)
+        sys.modules['omegaconf'] = om
+    import torch
+    import torchdrivesim.goals as ref_goals
+    import torchdrivesim.kinematic as ref_kinematic
+    import torchdrivesim.simulator as ref_simulator
+    import torchdrivesim.traffic_controls as ref_controls
+    from torchdrivesim.mesh import BaseMesh as RefBaseMesh
+    from torchdrivesim.mesh import BirdviewMesh as RefBirdviewMesh
+    from torchdrivesim.rendering import DummyRendererConfig as RefDummyCfg
+
+import torchdrivesim_tpu.kinematic as K
+from torchdrivesim_tpu.goals import WaypointGoal
+from torchdrivesim_tpu.mesh import BaseMesh, BirdviewMesh
+from torchdrivesim_tpu.rendering import DummyRendererConfig
+from torchdrivesim_tpu.simulator import (
+    CollisionMetric, Simulator, TorchDriveConfig,
+)
+from torchdrivesim_tpu.traffic_controls import TrafficLightControl
+
+B, A, STEPS = 2, 4, 25
+
+
+def _scenario(seed=0):
+    rng = np.random.RandomState(seed)
+    states = np.stack([
+        rng.uniform(0, 40, (B, A)), rng.uniform(-4, 4, (B, A)),
+        rng.uniform(-0.4, 0.4, (B, A)), rng.uniform(0, 6, (B, A)),
+    ], axis=-1).astype(np.float32)
+    sizes = rng.uniform([3.5, 1.6], [5.2, 2.4], (B, A, 2)).astype(np.float32)
+    lr = rng.uniform(1.0, 2.0, (B, A)).astype(np.float32)
+    actions = rng.uniform(-0.4, 0.4, (STEPS, B, A, 2)).astype(np.float32)
+    light_pos = np.asarray(
+        [[[25., 0., 1., 4., 0.], [50., 5., 1., 4., 1.2]]] * B, np.float32)
+    light_replay = rng.randint(0, 3, (B, 2, 10)).astype(np.int64)
+    waypoints = rng.uniform(0, 50, (B, A, 3, 2, 2)).astype(np.float32)
+    wp_mask = rng.rand(B, A, 3, 2) > 0.2
+    # synthetic road mesh: one long rectangle strip
+    road_verts = np.asarray([[[-5., -6.], [60., -6.], [60., 6.], [-5., 6.]]],
+                            np.float32).repeat(B, 0)
+    road_faces = np.asarray([[[0, 1, 2], [0, 2, 3]]], np.int32).repeat(B, 0)
+    return (states, sizes, lr, actions, light_pos, light_replay, waypoints,
+            wp_mask, road_verts, road_faces)
+
+
+def _build_reference(scenario):
+    (states, sizes, lr, actions, light_pos, light_replay, waypoints, wp_mask,
+     road_verts, road_faces) = scenario
+    kin = ref_kinematic.KinematicBicycle(dt=0.1)
+    kin.set_params(lr=torch.from_numpy(lr.copy()))
+    kin.set_state(torch.from_numpy(states.copy()))
+    cfg = ref_simulator.TorchDriveConfig(
+        renderer=RefDummyCfg(),
+        collision_metric=ref_simulator.CollisionMetric.discs)
+    controls = {'traffic_light': ref_controls.TrafficLightControl(
+        torch.from_numpy(light_pos.copy()),
+        replay_states=torch.from_numpy(light_replay.copy()))}
+    goals = ref_goals.WaypointGoal(torch.from_numpy(waypoints.copy()),
+                                   torch.from_numpy(wp_mask.copy()))
+    road = RefBirdviewMesh.set_properties(
+        RefBaseMesh(verts=torch.from_numpy(road_verts.copy()),
+                    faces=torch.from_numpy(road_faces.copy())), 'road')
+    return ref_simulator.Simulator(
+        road_mesh=road, kinematic_model=kin,
+        agent_size=torch.from_numpy(sizes.copy()),
+        initial_present_mask=torch.ones(B, A, dtype=torch.bool), cfg=cfg,
+        traffic_controls=controls, waypoint_goals=goals)
+
+
+def _build_ours(scenario):
+    (states, sizes, lr, actions, light_pos, light_replay, waypoints, wp_mask,
+     road_verts, road_faces) = scenario
+    kin = K.KinematicBicycle(dt=0.1)
+    kin.set_params(lr=jnp.asarray(lr))
+    kin.set_state(jnp.asarray(states))
+    cfg = TorchDriveConfig(collision_metric=CollisionMetric.discs)
+    cfg.renderer = DummyRendererConfig()
+    controls = {'traffic_light': TrafficLightControl(
+        jnp.asarray(light_pos), replay_states=jnp.asarray(light_replay))}
+    goals = WaypointGoal(jnp.asarray(waypoints), jnp.asarray(wp_mask))
+    road = BirdviewMesh.set_properties(
+        BaseMesh(verts=jnp.asarray(road_verts), faces=jnp.asarray(road_faces)),
+        'road')
+    return Simulator(
+        road_mesh=road, kinematic_model=kin, agent_size=jnp.asarray(sizes),
+        initial_present_mask=jnp.ones((B, A), dtype=bool), cfg=cfg,
+        traffic_controls=controls, waypoint_goals=goals)
+
+
+class TestEndToEndParity:
+    def test_full_rollout_parity(self):
+        scenario = _scenario()
+        actions = scenario[3]
+        ref = _build_reference(scenario)
+        ours = _build_ours(scenario)
+
+        for t in range(STEPS):
+            ref.step(torch.from_numpy(actions[t].copy()))
+            ours.step(jnp.asarray(actions[t]))
+
+            np.testing.assert_allclose(
+                np.asarray(ours.get_state()), ref.get_state().numpy(),
+                rtol=1e-4, atol=1e-4, err_msg=f"states diverged at t={t}")
+            np.testing.assert_array_equal(
+                np.asarray(ours.get_traffic_light_state()),
+                ref.traffic_controls['traffic_light'].state.numpy(),
+                err_msg=f"light states diverged at t={t}")
+            np.testing.assert_array_equal(
+                np.asarray(ours.get_waypoints_state())[..., 0],
+                ref.waypoint_goals.state.numpy()[..., 0],
+                err_msg=f"waypoint states diverged at t={t}")
+            np.testing.assert_allclose(
+                np.asarray(ours.get_waypoints()),
+                ref.get_waypoints().numpy(), atol=1e-5)
+
+            ref_coll = ref.compute_collision().detach().numpy()
+            our_coll = np.asarray(ours.compute_collision())
+            np.testing.assert_allclose(our_coll, ref_coll, rtol=1e-3,
+                                       atol=1e-4,
+                                       err_msg=f"collisions diverged at t={t}")
+
+            ref_viol = ref.compute_traffic_lights_violations().numpy()
+            our_viol = np.asarray(ours.compute_traffic_lights_violations())
+            np.testing.assert_array_equal(our_viol, ref_viol.astype(bool),
+                                          err_msg=f"violations at t={t}")
+
+    def test_offroad_parity(self):
+        scenario = _scenario(seed=1)
+        ref = _build_reference(scenario)
+        ours = _build_ours(scenario)
+        ref_off = ref.compute_offroad().detach().numpy() \
+            if _ref_offroad_available(ref) else None
+        if ref_off is None:
+            pytest.skip('reference offroad path unavailable')
+        our_off = np.asarray(ours.compute_offroad())
+        np.testing.assert_allclose(our_off, ref_off, rtol=1e-3, atol=1e-3)
+
+    def test_relative_observation_parity(self):
+        scenario = _scenario(seed=2)
+        ref = _build_reference(scenario)
+        ours = _build_ours(scenario)
+        ref_rel = ref.get_all_agents_relative().numpy()
+        our_rel = np.asarray(ours.get_all_agents_relative())
+        np.testing.assert_allclose(our_rel, ref_rel, rtol=1e-4, atol=1e-4)
+        ref_abs = ref.get_all_agents_absolute().numpy()
+        our_abs = np.asarray(ours.get_all_agents_absolute())
+        np.testing.assert_allclose(our_abs, ref_abs, atol=1e-5)
+
+    def test_set_state_and_fit_action_parity(self):
+        scenario = _scenario(seed=3)
+        ref = _build_reference(scenario)
+        ours = _build_ours(scenario)
+        target = np.asarray(ref.get_state().numpy()) + \
+            np.asarray([0.4, 0.2, 0.05, 0.1], np.float32)
+        mask = np.asarray([[True, False, True, True]] * B)
+        # full-width state with a mask (partial-width + mask crashes in the
+        # reference itself, `simulator.py:891`; ours supports both)
+        ref.set_state(torch.from_numpy(target.copy()),
+                      mask=torch.from_numpy(mask.copy()))
+        ours.set_state(jnp.asarray(target), mask=jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(ours.get_state()),
+                                   ref.get_state().numpy(), atol=1e-5)
+        # partial-width state without a mask (speed preserved)
+        partial = target[..., :3] + 0.25
+        ref.set_state(torch.from_numpy(partial.copy()))
+        ours.set_state(jnp.asarray(partial))
+        np.testing.assert_allclose(np.asarray(ours.get_state()),
+                                   ref.get_state().numpy(), atol=1e-5)
+        ref_action = ref.fit_action(torch.from_numpy(target.copy())).numpy()
+        our_action = np.asarray(ours.fit_action(jnp.asarray(target)))
+        np.testing.assert_allclose(our_action[..., :2], ref_action,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_extend_parity(self):
+        scenario = _scenario(seed=4)
+        ref = _build_reference(scenario)
+        ours = _build_ours(scenario)
+        ref.extend(2)
+        ours.extend(2)
+        assert ours.batch_size == ref.batch_size == 2 * B
+        np.testing.assert_allclose(np.asarray(ours.get_state()),
+                                   ref.get_state().numpy(), atol=1e-6)
+        actions = scenario[3]
+        big_actions = np.repeat(actions[0], 2, axis=0)
+        ref.step(torch.from_numpy(big_actions.copy()))
+        ours.step(jnp.asarray(big_actions))
+        np.testing.assert_allclose(np.asarray(ours.get_state()),
+                                   ref.get_state().numpy(), atol=1e-4)
+
+    def test_occlusion_mask_parity(self):
+        from torchdrivesim.observation_noise import (
+            StandardSensingObservationNoise as RefNoise,
+            StandardSensingObservationNoiseConfig as RefNoiseCfg)
+        from torchdrivesim_tpu.observation_noise import (
+            StandardSensingObservationNoise, StandardSensingObservationNoiseConfig)
+        scenario = _scenario(seed=5)
+        ref = _build_reference(scenario)
+        ours = _build_ours(scenario)
+        ref.observation_noise_model = RefNoise(RefNoiseCfg())
+        ours.observation_noise_model = StandardSensingObservationNoise(
+            StandardSensingObservationNoiseConfig())
+        ref_mask = ref.get_noisy_present_mask().numpy()
+        our_mask = np.asarray(ours.get_noisy_present_mask())
+        np.testing.assert_array_equal(our_mask, ref_mask)
+
+
+def _ref_offroad_available(ref) -> bool:
+    try:
+        ref.compute_offroad()
+        return True
+    except Exception:
+        return False
