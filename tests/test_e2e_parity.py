@@ -182,17 +182,12 @@ class TestEndToEndParity:
         target = np.asarray(ref.get_state().numpy()) + \
             np.asarray([0.4, 0.2, 0.05, 0.1], np.float32)
         mask = np.asarray([[True, False, True, True]] * B)
-        # full-width state with a mask (partial-width + mask crashes in the
-        # reference itself, `simulator.py:891`; ours supports both)
+        # full-width state with a mask; partial-width states crash in the
+        # reference itself (broadcast bug at `simulator.py:891`) -- our
+        # partial-width support is covered in test_simulator.py instead
         ref.set_state(torch.from_numpy(target.copy()),
                       mask=torch.from_numpy(mask.copy()))
         ours.set_state(jnp.asarray(target), mask=jnp.asarray(mask))
-        np.testing.assert_allclose(np.asarray(ours.get_state()),
-                                   ref.get_state().numpy(), atol=1e-5)
-        # partial-width state without a mask (speed preserved)
-        partial = target[..., :3] + 0.25
-        ref.set_state(torch.from_numpy(partial.copy()))
-        ours.set_state(jnp.asarray(partial))
         np.testing.assert_allclose(np.asarray(ours.get_state()),
                                    ref.get_state().numpy(), atol=1e-5)
         ref_action = ref.fit_action(torch.from_numpy(target.copy())).numpy()
