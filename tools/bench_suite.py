@@ -1,0 +1,213 @@
+"""
+Full benchmark suite: the five BASELINE workload configs (BASELINE.md).
+
+1. simulate-style: 20 vehicles, bicycle kinematics, BEV render, batch 1,
+   100-step rollout.
+2. Batched infractions: 64-scene batch, collision + offroad + wrong-way
+   every step (no rendering).
+3. Heterogeneous agents + traffic controls: vehicles/pedestrians/cyclists
+   with per-type kinematics, lights + stoplines.
+4. IL-style: gradients through a 40-step differentiable rollout
+   (dynamics + soft BEV render).
+5. RL-style: 1024 vectorized envs with replay NPCs, PPO-shaped rollout
+   fully on-device.
+
+Prints one JSON line per config. Run on TPU: python tools/bench_suite.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/tds_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed_steps(rollout_fn, state, n_warm=1, n_timed=3):
+    for _ in range(n_warm):
+        state, checksum = rollout_fn(state)
+        checksum.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(n_timed):
+        state, checksum = rollout_fn(state)
+    checksum.block_until_ready()
+    return time.perf_counter() - t0
+
+
+def config1_simulate():
+    from torchdrivesim_tpu.benchmark import build_benchmark_scenario
+    sc = build_benchmark_scenario(batch_size=1, agent_count=20, res=128)
+    step = sc.make_step_fn(render=True, metrics=True)
+
+    @jax.jit
+    def rollout(state):
+        def body(s, _):
+            s, out = step(s, jnp.zeros((1, 20, 2)))
+            return s, jnp.sum(out['image'])
+        s, acc = jax.lax.scan(body, state, None, length=100)
+        return s, jnp.sum(acc)
+
+    dt = timed_steps(rollout, sc.sim.state)
+    return {'config': 'simulate_100step_batch1',
+            'env_steps_per_sec': round(100 * 3 / dt, 1)}
+
+
+def config2_infractions():
+    from torchdrivesim_tpu.benchmark import build_benchmark_scenario
+    sc = build_benchmark_scenario(batch_size=64, agent_count=20, res=128,
+                                  use_texture=False)
+    step = sc.make_step_fn(render=False, metrics=True)
+
+    @jax.jit
+    def rollout(state):
+        def body(s, _):
+            s, out = step(s, jnp.zeros((64, 20, 2)))
+            return s, sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
+        s, acc = jax.lax.scan(body, state, None, length=100)
+        return s, jnp.sum(acc)
+
+    dt = timed_steps(rollout, sc.sim.state)
+    return {'config': 'batched_infractions_batch64',
+            'env_steps_per_sec': round(64 * 100 * 3 / dt, 1)}
+
+
+def config3_heterogeneous():
+    import torchdrivesim_tpu.kinematic as K
+    from torchdrivesim_tpu.benchmark import build_benchmark_scenario
+    sc = build_benchmark_scenario(batch_size=64, agent_count=20, res=128)
+    sim = sc.sim
+    # per-type kinematics: vehicles (bicycle), pedestrians (simple),
+    # cyclists (bicycle-no-reversing)
+    rng = np.random.RandomState(0)
+    ids = rng.choice([K.BICYCLE, K.SIMPLE, K.BICYCLE_NO_REVERSING],
+                     size=(64, 20), p=[0.6, 0.2, 0.2])
+    compound = K.CompoundKinematicModel(
+        model_assignments=jnp.asarray(ids), params=sim.kinematic_model.params)
+    compound.set_state(sim.kinematic_model.get_state())
+    sim.kinematic_model = compound
+    step = sc.make_step_fn(render=True, metrics=True)
+
+    @jax.jit
+    def rollout(state):
+        def body(s, _):
+            s, out = step(s, jnp.zeros((64, 20, 4)))
+            return s, jnp.sum(out['image'])
+        s, acc = jax.lax.scan(body, state, None, length=50)
+        return s, jnp.sum(acc)
+
+    dt = timed_steps(rollout, sim.state)
+    return {'config': 'heterogeneous_agents_batch64',
+            'env_steps_per_sec': round(64 * 50 * 3 / dt, 1)}
+
+
+def config4_il_gradients():
+    import optax
+    from torchdrivesim_tpu.benchmark import build_benchmark_scenario
+    from torchdrivesim_tpu.models import BirdviewCNNPolicy
+    from torchdrivesim_tpu.rendering.base import Cameras
+    from torchdrivesim_tpu.utils import Resolution
+
+    b, horizon, res = 16, 40, 64
+    sc = build_benchmark_scenario(batch_size=b, agent_count=8, res=res)
+    sim = sc.sim
+    sim.renderer.cfg.differentiable = True  # soft rasterizer for gradients
+    gen = sim.birdview_mesh_generator
+    renderer = sim.renderer
+    policy = BirdviewCNNPolicy(action_size=2, features=(16, 32))
+    params = policy.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, res, res)))
+
+    def render_ego(state):
+        all_state = jnp.concatenate([state.agent_state, state.npc_state], -2)
+        present = jnp.concatenate(
+            [state.present_mask, state.npc_present_mask], -1)
+        mesh = gen.generate(1, all_state[:, None], present[:, None],
+                            include_background=False)
+        ego = state.agent_state[:, 0]
+        cam_xy = ego[:, :2]
+        cam_sc = jnp.stack([jnp.sin(ego[:, 2]), jnp.cos(ego[:, 2])], -1)
+        return renderer.render_rgb_mesh_chw(
+            mesh, Resolution(res, res), Cameras(cam_xy, cam_sc, 2.0 / 70))
+
+    def loss_fn(params, state):
+        def body(s, _):
+            image = render_ego(s)
+            act = policy.apply(params, image)
+            action = jnp.zeros((b, 8, 2)).at[:, 0].set(act)
+            s = sim.functional_step(s, action)
+            return s, None
+        final, _ = jax.lax.scan(body, state, None, length=horizon)
+        return jnp.mean(final.agent_state[:, 0, :2] ** 2)
+
+    grad_fn = jax.jit(jax.grad(loss_fn))
+    g = grad_fn(params, sim.state)
+    jax.tree.map(lambda x: x.block_until_ready(), g)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        g = grad_fn(params, sim.state)
+    jax.tree.map(lambda x: x.block_until_ready(), g)
+    dt = time.perf_counter() - t0
+    return {'config': 'il_40step_bptt_through_render_batch16',
+            'grad_rollouts_per_sec': round(3 / dt, 2),
+            'env_steps_per_sec': round(b * horizon * 3 / dt, 1)}
+
+
+def config5_rl_1024_envs():
+    from torchdrivesim_tpu.benchmark import build_benchmark_scenario
+    from torchdrivesim_tpu.models import ActorCritic
+    b, res = 1024, 64
+    sc = build_benchmark_scenario(batch_size=b, agent_count=8, res=res)
+    sim = sc.sim
+    step = sc.make_step_fn(render=True, metrics=True)
+    model = ActorCritic(action_size=2, features=(16, 32))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, res, res)))
+
+    @jax.jit
+    def rollout(carry):
+        state, key = carry
+        def body(c, _):
+            s, k = c
+            k, sub = jax.random.split(k)
+            s, out = step(s, jnp.zeros((b, 8, 2)))
+            mean, log_std, value = model.apply(params, out['image'])
+            act = mean + jnp.exp(log_std) * jax.random.normal(sub, mean.shape)
+            reward = (0.1 * s.agent_state[:, 0, 3]
+                      - out['collision'][:, 0] - out['offroad'][:, 0])
+            return (s, k), jnp.sum(reward) + jnp.sum(act) * 0 + jnp.sum(value) * 0
+        (s, k), acc = jax.lax.scan(body, (state, key), None, length=16)
+        return (s, k), jnp.sum(acc)
+
+    carry = (sim.state, jax.random.PRNGKey(0))
+    for _ in range(1):
+        carry, acc = rollout(carry)
+        acc.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        carry, acc = rollout(carry)
+    acc.block_until_ready()
+    dt = time.perf_counter() - t0
+    return {'config': 'rl_1024_envs_policy_in_loop',
+            'env_steps_per_sec': round(b * 16 * 3 / dt, 1)}
+
+
+def main():
+    results = []
+    for fn in [config1_simulate, config2_infractions, config3_heterogeneous,
+               config4_il_gradients, config5_rl_1024_envs]:
+        try:
+            r = fn()
+        except Exception as e:  # keep the suite going
+            r = {'config': fn.__name__, 'error': str(e)[:200]}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    return results
+
+
+if __name__ == '__main__':
+    main()
