@@ -103,6 +103,48 @@ def test_soft_approximates_hard_in_interior():
     assert np.median(diff) < 0.05
 
 
+def test_softmax_blend_matches_hard_in_interior():
+    from torchdrivesim_tpu.ops.rasterize import rasterize_softmax
+    res = 32
+    # two overlapping faces with different z: lower z must dominate
+    verts = jnp.asarray([[[4., 4., 4.], [28., 4., 4.], [16., 28., 4.],
+                          [4., 4., 10.], [28., 4., 10.], [16., 28., 10.]]])
+    faces = jnp.asarray([[[0, 1, 2], [3, 4, 5]]], dtype=jnp.int32)
+    attrs = jnp.concatenate([
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (1, 3, 3)),
+        jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (1, 3, 3)),
+    ], axis=1)
+    bg = jnp.zeros((1, res, res, 3))
+    hard = np.asarray(rasterize_hard(verts, faces, attrs, res, bg))
+    soft = np.asarray(rasterize_softmax(verts, faces, attrs, res, bg,
+                                        sigma=0.3))
+    interior = hard[..., 0] == 1.0
+    assert interior.any()
+    diff = np.abs(hard - soft)[interior]
+    assert np.median(diff) < 0.05
+    # uncovered pixels stay background
+    np.testing.assert_allclose(soft[0, 0, 0], 0.0, atol=1e-3)
+
+
+def test_softmax_blend_gradient():
+    from torchdrivesim_tpu.ops.rasterize import rasterize_softmax
+    res = 16
+    faces = jnp.asarray([[[0, 1, 2]]], dtype=jnp.int32)
+    attrs = jnp.ones((1, 3, 3))
+    bg = jnp.zeros((1, res, res, 3))
+
+    def brightness(shift):
+        verts = jnp.asarray([[[4., 4., 5.], [12., 4., 5.], [8., 12., 5.]]])
+        verts = verts.at[..., 0].add(shift)
+        return jnp.sum(rasterize_softmax(verts, faces, attrs, res, bg))
+
+    g = jax.grad(brightness)(jnp.asarray(0.0))
+    assert np.isfinite(float(g))
+    eps = 1e-2
+    fd = (brightness(jnp.asarray(eps)) - brightness(jnp.asarray(-eps))) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=0.05, atol=1e-3)
+
+
 def test_soft_gradient_flows_to_vertices():
     res = 16
     faces = jnp.asarray([[[0, 1, 2]]], dtype=jnp.int32)

@@ -48,6 +48,8 @@ class JaxRendererConfig(RendererConfig):
     backend: str = 'jax'
     differentiable: bool = False      #: soft (differentiable) vs hard coverage
     soft_sigma: float = 0.5           #: edge softness in pixels (soft mode)
+    soft_blend: str = 'softmax'       #: 'softmax' (parallel, pytorch3d-style
+        # z-weighted blend) or 'painter' (sequential back-to-front scan)
     face_chunk: int = 16              #: faces per reduction step (hard mode)
     cull_max_faces: int = 64          #: per-camera face budget when compositing
         # over a baked background texture (0 disables culling); dynamic faces

@@ -132,8 +132,13 @@ class JaxRenderer(BirdviewRenderer):
         cull = self.cfg.cull_max_faces if texture is not None else 0
 
         if self.cfg.differentiable:
-            image = rasterize_soft(sv, mesh.faces, mesh.attrs, size, background,
-                                   sigma=self.cfg.soft_sigma)
+            if self.cfg.soft_blend == 'softmax':
+                from torchdrivesim_tpu.ops.rasterize import rasterize_softmax
+                image = rasterize_softmax(sv, mesh.faces, mesh.attrs, size,
+                                          background, sigma=self.cfg.soft_sigma)
+            else:
+                image = rasterize_soft(sv, mesh.faces, mesh.attrs, size,
+                                       background, sigma=self.cfg.soft_sigma)
             return jnp.transpose(image, (0, 3, 1, 2)) * 255.0
         if use_pallas:
             from torchdrivesim_tpu.ops.pallas_rasterize import rasterize_hard_pallas
