@@ -69,6 +69,8 @@ def main():
     parser.add_argument('--synthetic', action='store_true', default=True)
     parser.add_argument('--dataset-path', default=None,
                         help='INTERACTION dataset root (uses real replays)')
+    parser.add_argument('--map-mesh', default=None,
+                        help='serialized BirdviewMesh JSON for the location')
     parser.add_argument('--location', default='DR_USA_Intersection_MA')
     parser.add_argument('--batch', type=int, default=8)
     parser.add_argument('--horizon', type=int, default=10)
@@ -78,15 +80,28 @@ def main():
     parser.add_argument('--teacher-forcing', action='store_true')
     args = parser.parse_args()
 
+    npc_controller = None
     if args.dataset_path:
-        from torchdrivesim_tpu.behavior.replay import interaction_replay
+        # INTERACTION data: ego = first recorded agent (controlled),
+        # the rest replay their recordings as NPCs (the reference's
+        # ego_only_simulator design, `imitation_learning.py:235`)
+        from torchdrivesim_tpu.behavior.replay import (
+            ReplayController, interaction_replay)
+        from torchdrivesim_tpu.mesh import BirdviewMesh
         attrs, gt_states, present = interaction_replay(
             args.location, args.dataset_path, segment_length=args.horizon + 1)
-        raise SystemExit("INTERACTION training wiring mirrors --synthetic; "
-                         "provide a map mesh for the recording to proceed.")
-
-    road, states0, expert_traj = build_synthetic_batch(args.batch, args.horizon)
-    b = args.batch
+        b = 1
+        states0 = gt_states[:, :1, 0]                       # 1 x 1 x 4
+        expert_traj = jnp.transpose(gt_states[:, 0, 1:], (1, 0, 2))[:, :, None]
+        npc_controller = ReplayController(
+            npc_size=attrs[:, 1:, :2], npc_states=gt_states[:, 1:],
+            npc_present_masks=present[:, 1:])
+        road = BirdviewMesh.empty(batch_size=1) if args.map_mesh is None \
+            else BirdviewMesh.load(args.map_mesh)
+    else:
+        road, states0, expert_traj = build_synthetic_batch(args.batch,
+                                                           args.horizon)
+        b = args.batch
 
     kin = K.SimpleKinematicModel(dt=0.1)
     kin.set_state(states0)
@@ -94,7 +109,8 @@ def main():
     cfg.renderer = JaxRendererConfig(differentiable=True)  # soft rasterizer
     sim = Simulator(road_mesh=road, kinematic_model=kin,
                     agent_size=jnp.tile(jnp.asarray([[[4.6, 2.0]]]), (b, 1, 1)),
-                    initial_present_mask=jnp.ones((b, 1), dtype=bool), cfg=cfg)
+                    initial_present_mask=jnp.ones((b, 1), dtype=bool), cfg=cfg,
+                    npc_controller=npc_controller)
     sim.renderer.res = Resolution(args.res, args.res)
     sim.renderer.scale = 2.0 / 35
     gen = sim.birdview_mesh_generator
