@@ -321,3 +321,69 @@ class TestTrafficControlParity:
         mine.set_state(jnp.asarray(states))
         got = np.asarray(mine.compute_violation(jnp.asarray(agents)))
         np.testing.assert_array_equal(got, want)
+
+
+class TestCompoundKinematicParity:
+    def test_mixed_models_step(self):
+        """Heterogeneous dispatch (compute-all-and-select) must match the
+        reference's batch-splitting CompoundKinematicModel."""
+        rng = np.random.RandomState(11)
+        n = 8  # flat batch of agents
+        states = np.stack([
+            rng.uniform(-50, 50, (n,)), rng.uniform(-50, 50, (n,)),
+            rng.uniform(-np.pi, np.pi, (n,)), rng.uniform(0, 10, (n,)),
+        ], axis=-1).astype(np.float32)
+        actions = rng.uniform(-1, 1, (n, 4)).astype(np.float32)
+        lr = rng.uniform(1.0, 2.0, (n,)).astype(np.float32)
+        assignments = np.asarray([0, 1, 0, 1, 1, 0, 0, 1])
+
+        bike_idx = assignments == 0
+        simple_idx = assignments == 1
+        ref_bike = ref_kinematic.KinematicBicycle(dt=0.1)
+        ref_bike.set_params(lr=torch.from_numpy(lr[bike_idx]))
+        ref_bike.set_state(torch.from_numpy(states[bike_idx]))
+        ref_simple = ref_kinematic.SimpleKinematicModel(dt=0.1)
+        ref_simple.set_state(torch.from_numpy(states[simple_idx]))
+        ref = ref_kinematic.CompoundKinematicModel(
+            [ref_bike, ref_simple], torch.from_numpy(assignments))
+        ref.step(torch.from_numpy(actions))
+        want = ref.get_state().numpy()
+
+        ids = np.where(assignments == 0, K.BICYCLE, K.SIMPLE)
+        mine = K.CompoundKinematicModel(
+            model_assignments=jnp.asarray(ids),
+            params=K.KinematicParams(lr=jnp.asarray(lr), dt=0.1))
+        mine.set_state(jnp.asarray(states))
+        mine.step(jnp.asarray(actions))
+        got = np.asarray(mine.get_state())
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_mixed_models_fit_action(self):
+        rng = np.random.RandomState(12)
+        n = 6
+        cur = np.stack([
+            rng.uniform(-20, 20, (n,)), rng.uniform(-20, 20, (n,)),
+            rng.uniform(-1, 1, (n,)), rng.uniform(0, 5, (n,)),
+        ], axis=-1).astype(np.float32)
+        fut = cur + rng.uniform(-0.5, 0.5, cur.shape).astype(np.float32)
+        assignments = np.asarray([0, 1, 1, 0, 1, 0])
+        lr = np.ones(n, np.float32)
+
+        bike_idx = assignments == 0
+        ref_bike = ref_kinematic.KinematicBicycle(dt=0.1)
+        ref_bike.set_params(lr=torch.from_numpy(lr[bike_idx]))
+        ref_bike.set_state(torch.from_numpy(cur[bike_idx]))
+        ref_simple = ref_kinematic.SimpleKinematicModel(dt=0.1)
+        ref_simple.set_state(torch.from_numpy(cur[assignments == 1]))
+        ref = ref_kinematic.CompoundKinematicModel(
+            [ref_bike, ref_simple], torch.from_numpy(assignments))
+        want = ref.fit_action(torch.from_numpy(fut)).numpy()
+
+        ids = np.where(assignments == 0, K.BICYCLE, K.SIMPLE)
+        mine = K.CompoundKinematicModel(
+            model_assignments=jnp.asarray(ids),
+            params=K.KinematicParams(lr=jnp.asarray(lr), dt=0.1))
+        mine.set_state(jnp.asarray(cur))
+        got = np.asarray(mine.fit_action(jnp.asarray(fut)))
+        # the reference pads bicycle's 2-wide action to width 4 with zeros
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
