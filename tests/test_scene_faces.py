@@ -65,3 +65,33 @@ def test_generate_faces_with_waypoints():
     wp_corners = np.asarray(corners[:, -2 * fd:])
     assert np.abs(wp_corners[:, :fd]).max() > 0     # first waypoint drawn
     np.testing.assert_allclose(wp_corners[:, fd:], 0.0)  # masked one degenerate
+
+
+def test_render_fast_path_multicamera_masks():
+    """Per-camera rendering masks (single_agent_rendering) must hold through
+    the texture fast path: each ego sees only itself."""
+    import jax.numpy as jnp
+    from tests.test_simulator import _build_simulator
+    from torchdrivesim_tpu.ops.rasterize import bake_background_texture
+
+    sim = _build_simulator()
+    sim.cfg.single_agent_rendering = True
+    rgb = sim.birdview_mesh_generator.background_rgb
+    tex = bake_background_texture(rgb.verts[0], rgb.faces[0], rgb.attrs[0],
+                                  background_color=jnp.zeros(3),
+                                  pixels_per_meter=2.0)
+    sim.renderer.background_texture = tex
+    img = sim.render_egocentric(res=Resolution(64, 64), fov=30)
+    assert img.shape == (2, 2, 3, 64, 64)
+    arr = np.asarray(img)
+    # the other agent (10 m away, inside fov 30) must NOT appear: compare
+    # vehicle-colored pixel counts against a render without masking
+    sim.cfg.single_agent_rendering = False
+    arr_all = np.asarray(sim.render_egocentric(res=Resolution(64, 64), fov=30))
+
+    def vehicle_pixels(img):
+        return ((np.abs(img[:, :, 2] - 135) < 25)
+                & (np.abs(img[:, :, 0] - 32) < 25)).sum()
+
+    assert vehicle_pixels(arr) > 0
+    assert vehicle_pixels(arr_all) > 1.5 * vehicle_pixels(arr)
