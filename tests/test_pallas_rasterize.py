@@ -44,7 +44,8 @@ def test_pallas_matches_xla_rasterizer():
     bg_chw = jnp.transpose(bg_hwc, (0, 3, 1, 2))
     got = np.asarray(pr.rasterize_hard_pallas(corners, z, color, res, bg_chw))
     got_hwc = np.transpose(got, (0, 2, 3, 1))
-    agree = np.isclose(got_hwc, want, atol=1e-5).all(axis=-1).mean()
+    # the kernel carries winner colors as packed RGB8: quantization <= 1/510
+    agree = np.isclose(got_hwc, want, atol=2.5e-3).all(axis=-1).mean()
     assert agree > 0.999, f"only {agree:.4f} of pixels agree"
 
 
@@ -56,6 +57,27 @@ def test_pallas_degenerate_faces_paint_nothing():
     bg = jnp.zeros((1, 3, res, res))
     img = np.asarray(pr.rasterize_hard_pallas(corners, z, colors, res, bg))
     np.testing.assert_allclose(img, 0.0)
+
+
+def test_pallas_large_face_count_chunks():
+    """Face sets beyond FACE_CHUNK take the in-kernel chunked path (full
+    uncculled map meshes OOM'd VMEM before it existed)."""
+    res = 128
+    verts, faces, attrs = _random_scene(7, b=1, n_tri=200, res=res)
+    bg_hwc = jnp.zeros((1, res, res, 3))
+    want = np.asarray(rasterize_hard(verts, faces, attrs, res, bg_hwc))
+    corners, z, color = _face_arrays(verts, faces, attrs)
+    # tile faces past FACE_CHUNK; clones sit behind the originals (higher z)
+    reps = pr.FACE_CHUNK // z.shape[1] + 2
+    corners = jnp.tile(corners, (1, reps, 1, 1))
+    z = jnp.concatenate([z + 100.0 * i for i in range(reps)], axis=1)
+    color = jnp.tile(color, (1, reps, 1))
+    assert z.shape[1] > pr.FACE_CHUNK
+    got = np.asarray(pr.rasterize_hard_pallas(
+        corners, z, color, res, jnp.zeros((1, 3, res, res))))
+    got_hwc = np.transpose(got, (0, 2, 3, 1))
+    agree = np.isclose(got_hwc, want, atol=2.5e-3).all(axis=-1).mean()
+    assert agree > 0.999, f"only {agree:.4f} of pixels agree"
 
 
 def test_pallas_z_priority_and_tiebreak():

@@ -1,22 +1,31 @@
 """
 Pallas TPU rasterization kernel.
 
-The XLA rasterizer (`ops/rasterize.py`) evaluates edge functions on the VPU
-at ~25 elementwise ops per face-pixel and runs at VPU peak. This kernel
-moves the arithmetic onto the MXU:
+All arithmetic stays on the VPU, tiled over flat pixel blocks:
 
-* each face's three edge functions are affine in pixel coordinates, so one
-  (F x 3) @ (3 x pixels) matmul per edge index evaluates that edge for ALL
-  faces over a whole pixel tile;
-* the per-pixel winner is a min-reduce over faces (VPU);
-* color selection is one more matmul: (3 x F) face colors @ (F x pixels)
-  one-hot winner matrix.
+* each face's three edge functions are affine in pixel coordinates and are
+  evaluated for ALL faces over a whole pixel tile as (F, 1) x (1, pixels)
+  broadcast FMAs;
+* winner resolution packs priority-z (as order-preserving IEEE bit
+  patterns) and RGB8 colors into int32s, so the per-pixel winner and its
+  color are two masked min-reduces.
+
+Two formulations were measured slower on v5e and rejected:
+
+* MXU edge matmuls ((F, 3) @ (3, pixels) at f32): K=3 pads to 128 on the
+  systolic array and float32 runs as multiple bf16 passes -- ~5x slower;
+  the matmul shape, not FLOPs, sets the time.
+* separable-edge tables over (F, rows, cols) 3D tiles (one broadcast add
+  per edge): the (rows, 1) / (1, cols) operand layouts waste vector-register
+  lanes and the broadcasts cost more than the FMAs saved -- ~2.5x slower.
 
 Layout discipline (Mosaic rejects general shape casts): pixels are kept
 FLAT -- the kernel reads background and writes output as (B, 3, H*W) and
-every in-kernel array is (rows<=3F, 1024); the (H, W) view is restored by
-XLA outside. Ties resolve to the lowest face index (z is made unique),
-matching the XLA path; degenerate faces get z out of range.
+every in-kernel array is (rows<=F, pixels); the (H, W) view is restored by
+XLA outside. Winding is canonicalized outside the kernel (coefficients
+scaled by sign(area)), so inside == all three edges non-negative. Ties
+resolve to the lowest face index (z is made unique), matching the XLA path;
+degenerate faces get sentinel z bits.
 """
 import functools
 
@@ -30,6 +39,12 @@ BIG_Z = 1e9
 #: pixels per kernel program; large tiles amortize per-program overhead
 #: (VMEM use ~ 4 * F * PIXELS_PER_TILE bytes for the edge matrices)
 PIXELS_PER_TILE = 4096
+#: faces per inner kernel iteration: bounds live VMEM intermediates to
+#: (FACE_CHUNK, PIXELS_PER_TILE) so arbitrarily large face sets (e.g. a full
+#: uncculled map mesh) fit; face counts <= FACE_CHUNK skip the loop entirely
+FACE_CHUNK = 128
+#: +inf bit pattern: larger than every finite positive float's bit pattern
+_Z_SENTINEL = np.int32(0x7F800000)
 
 
 def _edge_coefficients_edge_major(corners: jnp.ndarray):
@@ -57,39 +72,62 @@ def _edge_coefficients_edge_major(corners: jnp.ndarray):
     return coef, area
 
 
-def _raster_kernel(coef_ref, z_ref, color_ref, bg_ref, out_ref, *, res):
+def _raster_kernel(coef_ref, zbits_ref, rgb_ref, bg_ref, out_ref, *, res,
+                   n_chunks):
     tile = pl.program_id(1)
     base = tile * PIXELS_PER_TILE
 
-    # P matrix (3, pixels): rows (px, py, 1) from the flat pixel index
+    # pixel-center coordinates (1, pixels) from the flat pixel index
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, PIXELS_PER_TILE), 1) + base
     px = (idx // res).astype(jnp.float32) + 0.5
     py = (idx % res).astype(jnp.float32) + 0.5
-    pmat = jnp.concatenate(
-        [px, py, jnp.ones((1, PIXELS_PER_TILE), jnp.float32)], axis=0)
 
-    # three edge evaluations, each one MXU pass: (F, 3) @ (3, pixels)
-    hi = jax.lax.Precision.HIGHEST  # f32-accurate MXU passes: K=3 leaves the
-    # MXU underutilized, so the extra passes are free, and bf16 edge math
-    # would wobble edges by ~0.25 px
-    e0 = jnp.dot(coef_ref[0, 0], pmat, preferred_element_type=jnp.float32,
-                 precision=hi)
-    e1 = jnp.dot(coef_ref[0, 1], pmat, preferred_element_type=jnp.float32,
-                 precision=hi)
-    e2 = jnp.dot(coef_ref[0, 2], pmat, preferred_element_type=jnp.float32,
-                 precision=hi)
-    emin = jnp.minimum(jnp.minimum(e0, e1), e2)
-    emax = jnp.maximum(jnp.maximum(e0, e1), e2)
-    inside = (emin >= 0) | (emax <= 0)               # (F, pixels)
+    def chunk_best(coef, zc, rc):
+        """Per-pixel winner (z bits, packed rgb) among the given faces."""
+        # edge functions as VPU broadcast FMAs: e_k = a*px + b*py + c, for all
+        # chunk faces over the pixel tile as (size, 1) x (1, pixels) broadcasts
+        def edge(k):
+            c = coef[k]                                  # (size, 3) [a, b, c]
+            return c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]
 
-    z = z_ref[0]                                     # (F, 1)
-    zval = jnp.where(inside, z, BIG_Z)               # (F, pixels)
-    best = jnp.min(zval, axis=0, keepdims=True)      # (1, pixels)
-    covered = best < BIG_Z
+        emin = jnp.minimum(jnp.minimum(edge(0), edge(1)), edge(2))
+        inside = emin >= 0                               # (size, pixels)
 
-    onehot = ((zval <= best) & inside).astype(jnp.float32)
-    color = jnp.dot(color_ref[0], onehot, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # (3, pixels)
+        # z priority as order-preserving int bits (positive floats compare
+        # like their IEEE bit patterns): ONE masked min-reduce finds the winner
+        zv = jnp.where(inside, zc, _Z_SENTINEL)
+        best = jnp.min(zv, axis=0, keepdims=True)        # (1, pixels)
+
+        # winner color: faces' z bits are unique, so equality selects exactly
+        # the winning face; its RGB8 color falls out of a second min-reduce
+        rgbv = jnp.where(zv == best, rc, jnp.int32(1 << 24))
+        return best, jnp.min(rgbv, axis=0, keepdims=True)
+
+    if n_chunks == 1:
+        best, wrgb = chunk_best(coef_ref[0], zbits_ref[0], rgb_ref[0])
+    else:
+        # bound live intermediates to (FACE_CHUNK, pixels): fold face chunks
+        # into a running per-pixel (best z, winner rgb)
+        def body(c, carry):
+            bz, br = carry
+            start = pl.multiple_of(c * FACE_CHUNK, FACE_CHUNK)
+            cz, cr = chunk_best(
+                coef_ref[0, :, pl.ds(start, FACE_CHUNK), :],
+                zbits_ref[0, pl.ds(start, FACE_CHUNK), :],
+                rgb_ref[0, pl.ds(start, FACE_CHUNK), :])
+            take = cz < bz
+            return jnp.minimum(bz, cz), jnp.where(take, cr, br)
+
+        init = (jnp.full((1, PIXELS_PER_TILE), _Z_SENTINEL, jnp.int32),
+                jnp.full((1, PIXELS_PER_TILE), 1 << 24, jnp.int32))
+        best, wrgb = jax.lax.fori_loop(0, n_chunks, body, init)
+
+    covered = best < _Z_SENTINEL
+    color = jnp.concatenate([
+        ((wrgb >> 16) & 255).astype(jnp.float32),
+        ((wrgb >> 8) & 255).astype(jnp.float32),
+        (wrgb & 255).astype(jnp.float32),
+    ], axis=0) * (1.0 / 255.0)
 
     out_ref[0] = jnp.where(covered, color, bg_ref[0])
 
@@ -102,7 +140,8 @@ def rasterize_hard_pallas(corners: jnp.ndarray, z: jnp.ndarray,
 
     Args:
         corners: (B, F, 3, 2) screen corners (row, col).
-        z: (B, F) priority (lower on top); colors: (B, F, 3) in [0, 1].
+        z: (B, F) priority (lower on top); colors: (B, F, 3) in [0, 1]
+            (carried as packed RGB8: quantization <= 1/510 per channel).
         background: (B, 3, H, W) channels-first background image.
     Returns:
         (B, 3, H, W) image in [0, 1].
@@ -110,25 +149,48 @@ def rasterize_hard_pallas(corners: jnp.ndarray, z: jnp.ndarray,
     b, f = z.shape
     n_pixels = res * res
     assert n_pixels % PIXELS_PER_TILE == 0
-    # unique z per face: ties resolve to the lowest face index
-    z = z + jnp.arange(f, dtype=z.dtype)[None, :] * 1e-4
+    # unique z per face: ties resolve to the lowest face index (the bump must
+    # stay below the z-level spacing even for full-map face counts)
+    z = z + jnp.arange(f, dtype=z.dtype)[None, :] * min(1e-4, 0.09 / max(f, 1))
     coef, area = _edge_coefficients_edge_major(corners)
+    # canonicalize winding: inside == all three edge functions >= 0
+    coef = coef * jnp.sign(area)[:, None, :, None]
+    # shift z positive so its IEEE bit pattern is order-preserving as int32;
     # degenerate (masked) faces have all-zero edge functions, which would
-    # read as "inside" everywhere -- push their z out of range instead
-    z = jnp.where(jnp.abs(area) > 1e-9, z, BIG_Z * 2)[..., None]  # (B, F, 1)
-    colors_t = jnp.swapaxes(colors, 1, 2)                          # (B, 3, F)
+    # read as "inside" everywhere -- send their z bits to the sentinel
+    zpos = (z - jnp.min(z, axis=1, keepdims=True) + 1.0).astype(jnp.float32)
+    zbits = jax.lax.bitcast_convert_type(zpos, jnp.int32)
+    zbits = jnp.where(jnp.abs(area) > 1e-9, zbits, _Z_SENTINEL)[..., None]
+    # colors as RGB8 packed in int32
+    c8 = jnp.clip(jnp.round(colors * 255.0), 0, 255).astype(jnp.int32)
+    rgb = ((c8[..., 0] << 16) | (c8[..., 1] << 8) | c8[..., 2])[..., None]
     bg_flat = background.reshape(b, 3, n_pixels)
+
+    # large face sets (e.g. a full uncculled map mesh) are folded in chunks
+    # of FACE_CHUNK inside the kernel, bounding live VMEM intermediates
+    if f > FACE_CHUNK:
+        f_pad = -(-f // FACE_CHUNK) * FACE_CHUNK
+        pad = f_pad - f
+        coef = jnp.pad(coef, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        zbits = jnp.pad(zbits, ((0, 0), (0, pad), (0, 0)),
+                        constant_values=_Z_SENTINEL)
+        rgb = jnp.pad(rgb, ((0, 0), (0, pad), (0, 0)))
+        n_chunks = f_pad // FACE_CHUNK
+    else:
+        f_pad, n_chunks = f, 1
 
     grid = (b, n_pixels // PIXELS_PER_TILE)
     out = pl.pallas_call(
-        functools.partial(_raster_kernel, res=res),
+        functools.partial(_raster_kernel, res=res, n_chunks=n_chunks),
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024) if n_chunks > 1 else None,
         in_specs=[
-            pl.BlockSpec((1, 3, f, 3), lambda i, j: (i, 0, 0, 0),
+            pl.BlockSpec((1, 3, f_pad, 3), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f, 1), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, f_pad, 1), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, f), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, f_pad, 1), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, PIXELS_PER_TILE), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
@@ -136,5 +198,5 @@ def rasterize_hard_pallas(corners: jnp.ndarray, z: jnp.ndarray,
         out_specs=pl.BlockSpec((1, 3, PIXELS_PER_TILE), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 3, n_pixels), jnp.float32),
-    )(coef, z, colors_t, bg_flat)
+    )(coef, zbits, rgb, bg_flat)
     return out.reshape(b, 3, res, res)
