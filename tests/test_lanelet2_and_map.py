@@ -204,6 +204,39 @@ class TestMapGrids:
         d2 = np.asarray(sample_offroad_distance(g2, pts))
         np.testing.assert_allclose(d2, d, atol=0.05)
 
+    def test_quad_sampling_matches_bilinear(self):
+        """The one-gather bf16 quad path must agree with plain bilinear
+        sampling (to bf16 precision) and stay differentiable."""
+        import jax
+        from torchdrivesim_tpu.map_grids import (
+            MapGrids, sample_offroad_distance)
+        from torchdrivesim_tpu.ops.grids import Grid2D
+
+        rng = np.random.RandomState(0)
+        data = jnp.asarray(np.abs(rng.randn(64, 48, 1)).astype(np.float32) * 5)
+        plain = MapGrids(distance=Grid2D(
+            data=data, origin=jnp.asarray([3.0, -7.0]), cell_size=0.5),
+            direction=None)
+        quad = plain.with_quad()
+        assert quad.distance_quad.data.shape == (64, 48, 2)
+
+        pts = jnp.asarray(rng.uniform(
+            [3.5, -6.5], [3.0 + 0.5 * 46, -7.0 + 0.5 * 62],
+            (200, 2)).astype(np.float32))
+        want = np.asarray(sample_offroad_distance(plain, pts))
+        got = np.asarray(sample_offroad_distance(quad, pts))
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=0.03)
+
+        # far out of bounds reads the fill value on both paths
+        far = jnp.asarray([[1e5, 1e5]])
+        assert float(sample_offroad_distance(quad, far)[0]) == 100.0
+
+        # differentiable w.r.t. points (piecewise-linear slope)
+        g = jax.grad(lambda p: jnp.sum(sample_offroad_distance(quad, p)))(pts)
+        g0 = jax.grad(lambda p: jnp.sum(sample_offroad_distance(plain, p)))(pts)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g0),
+                                   rtol=2e-2, atol=0.05)
+
 
 def bake_map_grids_with(cfg, lanelet_map, cell_size=0.5):
     """Bake grids with an explicit in-memory lanelet map (test helper)."""

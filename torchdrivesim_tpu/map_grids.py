@@ -27,7 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from torchdrivesim_tpu.ops.grids import Grid2D, bilinear_sample, nearest_sample
+from torchdrivesim_tpu.ops.grids import (
+    Grid2D, bilinear_sample, bilinear_sample_quad, nearest_sample,
+    pack_bilinear_quad)
 
 if TYPE_CHECKING:
     from torchdrivesim_tpu.map import MapConfig
@@ -46,6 +48,14 @@ class MapGrids:
     direction: Optional[Grid2D]   #: (H, W, 1) int32: 4 packed 8-bit angles
         # (byte k = layer k; 0..254 quantize [-pi, pi); 255 = invalid) --
         # one gather per wrong-way query instead of a 12-float slice
+    #: (H, W, 2) int32 bilinear-quad repack of ``distance`` (bf16 corners):
+    #: ONE gather per offroad query instead of four (see pack_bilinear_quad)
+    distance_quad: Optional[Grid2D] = None
+
+    def with_quad(self) -> "MapGrids":
+        if self.distance_quad is not None:
+            return self
+        return self.replace(distance_quad=pack_bilinear_quad(self.distance))
 
     def save(self, path: str):
         arrays = {
@@ -74,7 +84,7 @@ def load_map_grids(path: str) -> MapGrids:
                 data=jnp.asarray(data['direction'].astype(np.int32)),
                 origin=jnp.asarray(data['direction_origin'].astype(np.float32)),
                 cell_size=float(data['direction_cell']))
-    return MapGrids(distance=distance, direction=direction)
+    return MapGrids(distance=distance, direction=direction).with_quad()
 
 
 # ----------------------------------------------------------------------------
@@ -91,6 +101,9 @@ def sample_offroad_distance(grids: MapGrids, points: jnp.ndarray) -> jnp.ndarray
     Returns:
         (...) distances.
     """
+    if grids.distance_quad is not None:
+        return bilinear_sample_quad(grids.distance_quad, points,
+                                    fill_value=100.0)
     return bilinear_sample(grids.distance, points, fill_value=100.0)[..., 0]
 
 
@@ -194,7 +207,7 @@ def bake_map_grids(cfg: "MapConfig", cell_size: float = 0.4,
     lanelet_map = cfg.lanelet_map
     if lanelet_map is not None:
         direction = _bake_direction(lanelet_map, distance, cell_size, tolerance)
-    return MapGrids(distance=distance, direction=direction)
+    return MapGrids(distance=distance, direction=direction).with_quad()
 
 
 def _bake_distance(verts: np.ndarray, faces: np.ndarray, cell_size: float,

@@ -72,15 +72,43 @@ def _edge_coefficients_edge_major(corners: jnp.ndarray):
     return coef, area
 
 
-def _raster_kernel(coef_ref, zbits_ref, rgb_ref, bg_ref, out_ref, *, res,
-                   n_chunks):
-    tile = pl.program_id(1)
-    base = tile * PIXELS_PER_TILE
-
+def _pixel_coords(res):
     # pixel-center coordinates (1, pixels) from the flat pixel index
+    base = pl.program_id(1) * PIXELS_PER_TILE
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, PIXELS_PER_TILE), 1) + base
     px = (idx // res).astype(jnp.float32) + 0.5
     py = (idx % res).astype(jnp.float32) + 0.5
+    return px, py
+
+
+def _unpack_rgb(wrgb):
+    return jnp.concatenate([
+        ((wrgb >> 16) & 255).astype(jnp.float32),
+        ((wrgb >> 8) & 255).astype(jnp.float32),
+        (wrgb & 255).astype(jnp.float32),
+    ], axis=0) * (1.0 / 255.0)
+
+
+def _raster_kernel_packed(coef_ref, packed_ref, bg_ref, out_ref, *, res):
+    """Fast path for face counts <= 127: z-RANK (7 bits) and RGB8 share one
+    int32, so the per-pixel winner AND its color fall out of a single masked
+    min-reduce (rank ordering == z ordering by construction)."""
+    px, py = _pixel_coords(res)
+
+    def edge(k):
+        c = coef_ref[0, k]                               # (F, 3) [a, b, c]
+        return c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]
+
+    emin = jnp.minimum(jnp.minimum(edge(0), edge(1)), edge(2))
+    pv = jnp.where(emin >= 0, packed_ref[0], np.int32(0x7FFFFFFF))
+    best = jnp.min(pv, axis=0, keepdims=True)            # (1, pixels)
+    covered = best < (127 << 24)                         # valid ranks <= 126
+    out_ref[0] = jnp.where(covered, _unpack_rgb(best), bg_ref[0])
+
+
+def _raster_kernel(coef_ref, zbits_ref, rgb_ref, bg_ref, out_ref, *, res,
+                   n_chunks):
+    px, py = _pixel_coords(res)
 
     def chunk_best(coef, zc, rc):
         """Per-pixel winner (z bits, packed rgb) among the given faces."""
@@ -123,13 +151,7 @@ def _raster_kernel(coef_ref, zbits_ref, rgb_ref, bg_ref, out_ref, *, res,
         best, wrgb = jax.lax.fori_loop(0, n_chunks, body, init)
 
     covered = best < _Z_SENTINEL
-    color = jnp.concatenate([
-        ((wrgb >> 16) & 255).astype(jnp.float32),
-        ((wrgb >> 8) & 255).astype(jnp.float32),
-        (wrgb & 255).astype(jnp.float32),
-    ], axis=0) * (1.0 / 255.0)
-
-    out_ref[0] = jnp.where(covered, color, bg_ref[0])
+    out_ref[0] = jnp.where(covered, _unpack_rgb(wrgb), bg_ref[0])
 
 
 def rasterize_hard_pallas(corners: jnp.ndarray, z: jnp.ndarray,
@@ -165,6 +187,34 @@ def rasterize_hard_pallas(corners: jnp.ndarray, z: jnp.ndarray,
     c8 = jnp.clip(jnp.round(colors * 255.0), 0, 255).astype(jnp.int32)
     rgb = ((c8[..., 0] << 16) | (c8[..., 1] << 8) | c8[..., 2])[..., None]
     bg_flat = background.reshape(b, 3, n_pixels)
+    grid = (b, n_pixels // PIXELS_PER_TILE)
+
+    if f <= 127:
+        # fast path: z-rank (7 bits, same ordering as z) and RGB8 share one
+        # int32, halving the kernel's winner-resolution work. Rank by pairwise
+        # comparison count -- O(F^2) elementwise, no sort, no gather.
+        rank = jnp.sum(zpos[:, None, :] < zpos[:, :, None], axis=-1,
+                       dtype=jnp.int32)                      # (B, F)
+        packed = (rank << 24) | rgb[..., 0]
+        packed = jnp.where(jnp.abs(area) > 1e-9, packed,
+                           np.int32(0x7FFFFFFF))[..., None]  # (B, F, 1)
+        out = pl.pallas_call(
+            functools.partial(_raster_kernel_packed, res=res),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 3, f, 3), lambda i, j: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, f, 1), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, PIXELS_PER_TILE), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 3, PIXELS_PER_TILE),
+                                   lambda i, j: (i, 0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, 3, n_pixels), jnp.float32),
+        )(coef, packed, bg_flat)
+        return out.reshape(b, 3, res, res)
 
     # large face sets (e.g. a full uncculled map mesh) are folded in chunks
     # of FACE_CHUNK inside the kernel, bounding live VMEM intermediates
