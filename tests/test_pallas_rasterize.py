@@ -96,3 +96,48 @@ def test_pallas_z_priority_and_tiebreak():
     z2 = jnp.asarray([[5.0, 2.0]])
     img2 = np.asarray(pr.rasterize_hard_pallas(corners, z2, colors, res, bg))
     assert np.allclose(img2[0, 1][covered[0]], 1.0)  # green (z=2)
+
+
+def test_pallas_prims_matches_triangle_decomposition():
+    """Quads rendered via the typed-prim kernel must match the same quads
+    split into two triangles through the plain kernel."""
+    res = 128
+    rng = np.random.RandomState(3)
+    b, nq, nt = 2, 6, 5
+    # random parallelograms: c0 + u, c0 + u + v, c0 + v
+    c0 = rng.uniform(0, 100, (b, nq, 1, 2))
+    u = rng.uniform(-40, 40, (b, nq, 1, 2))
+    v = rng.uniform(-40, 40, (b, nq, 1, 2))
+    quads = np.concatenate([c0, c0 + u, c0 + u + v, c0 + v], axis=2)
+    tris = rng.uniform(-10, 138, (b, nt, 3, 2))
+    qz = rng.uniform(1, 10, (b, nq)); tz = rng.uniform(1, 10, (b, nt))
+    qc = rng.uniform(0, 1, (b, nq, 3)); tc = rng.uniform(0, 1, (b, nt, 3))
+    bg = jnp.zeros((b, 3, res, res))
+
+    got = np.asarray(pr.rasterize_hard_pallas_prims(
+        jnp.asarray(quads, jnp.float32), jnp.asarray(qz, jnp.float32),
+        jnp.asarray(qc, jnp.float32), jnp.asarray(tris, jnp.float32),
+        jnp.asarray(tz, jnp.float32), jnp.asarray(tc, jnp.float32), res, bg))
+
+    t1 = quads[:, :, [0, 1, 2]]
+    t2 = quads[:, :, [0, 2, 3]]
+    corners = np.concatenate([t1, t2, tris], axis=1)
+    z = np.concatenate([qz, qz, tz], axis=1)
+    colors = np.concatenate([qc, qc, tc], axis=1)
+    want = np.asarray(pr.rasterize_hard_pallas(
+        jnp.asarray(corners, jnp.float32), jnp.asarray(z, jnp.float32),
+        jnp.asarray(colors, jnp.float32), res, bg))
+    agree = np.isclose(got, want, atol=2.5e-3).all(axis=1).mean()
+    assert agree > 0.998, f"only {agree:.4f} of pixels agree"
+    assert got.max() > 0
+
+
+def test_pallas_prims_degenerate_and_empty():
+    res = 128
+    quads = jnp.zeros((1, 3, 4, 2))
+    tris = jnp.zeros((1, 0, 3, 2))
+    img = np.asarray(pr.rasterize_hard_pallas_prims(
+        quads, jnp.full((1, 3), 5.0), jnp.ones((1, 3, 3)),
+        tris, jnp.zeros((1, 0)), jnp.zeros((1, 0, 3)),
+        res, jnp.zeros((1, 3, res, res))))
+    np.testing.assert_allclose(img, 0.0)

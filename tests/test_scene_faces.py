@@ -95,3 +95,57 @@ def test_render_fast_path_multicamera_masks():
 
     assert vehicle_pixels(arr) > 0
     assert vehicle_pixels(arr_all) > 1.5 * vehicle_pixels(arr)
+
+
+def test_generate_prims_matches_faces_render():
+    """The typed-primitive path (quads + tris) must render identically to the
+    face-soup path through the XLA fallback."""
+    from tests.test_simulator import _build_simulator
+    from torchdrivesim_tpu.rendering.base import Cameras
+    sim = _build_simulator(with_npcs=True)
+    gen = sim.birdview_mesh_generator
+    renderer = sim.renderer
+    renderer.cfg.use_pallas = False
+
+    state = sim.state
+    all_state = jnp.concatenate([state.agent_state, state.npc_state], -2)
+    present = jnp.concatenate([state.present_mask, state.npc_present_mask], -1)
+    lights = state.traffic_control_state['traffic_light']
+    ego = state.agent_state[:, 0]
+    cam_xy = ego[:, :2]
+    cam_sc = jnp.stack([jnp.sin(ego[:, 2]), jnp.cos(ego[:, 2])], -1)
+    cameras = Cameras(cam_xy, cam_sc, 2.0 / 40)
+    res = Resolution(64, 64)
+
+    corners, z, colors = gen.generate_faces(
+        all_state, present_mask=present, traffic_light_state=lights)
+    want = np.asarray(renderer.render_faces_chw(corners, z, colors, res,
+                                                cameras))
+    quads, qz, qcol, tris, tz, tcol = gen.generate_prims(
+        all_state, present_mask=present, traffic_light_state=lights)
+    got = np.asarray(renderer.render_prims_chw(quads, qz, qcol, tris, tz,
+                                               tcol, res, cameras))
+    agree = np.isclose(got, want, atol=1e-3).all(axis=1).mean()
+    assert agree > 0.995, f"prims vs faces agreement {agree}"
+    assert got.max() > 0
+
+
+def test_generate_prims_masks_and_waypoints():
+    from tests.test_simulator import _build_simulator
+    sim = _build_simulator()
+    gen = sim.birdview_mesh_generator
+    state = sim.state
+    all_state = jnp.concatenate([state.agent_state, state.npc_state], -2)
+    none_present = jnp.zeros_like(
+        jnp.concatenate([state.present_mask, state.npc_present_mask], -1))
+    wps = jnp.asarray([[[10.0, 0.0], [20.0, 0.0]]] * 2)
+    mask = jnp.asarray([[True, False]] * 2)
+    quads, qz, qcol, tris, tz, tcol = gen.generate_prims(
+        all_state, present_mask=none_present, waypoints=wps,
+        waypoints_rendering_mask=mask)
+    n_all = all_state.shape[1]
+    np.testing.assert_allclose(np.asarray(quads[:, :n_all]), 0.0)
+    fd = gen.waypoint_template_faces.shape[0]
+    wp_tris = np.asarray(tris[:, -2 * fd:])
+    assert np.abs(wp_tris[:, :fd]).max() > 0
+    np.testing.assert_allclose(wp_tris[:, fd:], 0.0)

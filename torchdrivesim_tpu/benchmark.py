@@ -120,14 +120,15 @@ class BenchmarkScenario:
                                    axis=-1)
                 from torchdrivesim_tpu.rendering.base import Cameras
                 cameras = Cameras(cam_xy, cam_sc, 2.0 / self.fov)
-                if (hasattr(renderer, 'render_faces_chw')
+                if (hasattr(renderer, 'render_prims_chw')
                         and renderer.background_texture is not None):
-                    # gather-free face-soup fast path
-                    corners, zf, colors = gen.generate_faces(
+                    # gather-free typed-primitive fast path
+                    quads, qz, qcol, tris, tz, tcol = gen.generate_prims(
                         all_state, present_mask=present,
                         traffic_light_state=light_state)
-                    image = renderer.render_faces_chw(
-                        corners, zf, colors, Resolution(res, res), cameras)
+                    image = renderer.render_prims_chw(
+                        quads, qz, qcol, tris, tz, tcol,
+                        Resolution(res, res), cameras)
                 elif hasattr(renderer, 'render_rgb_mesh_chw'):
                     mesh = gen.generate(
                         1, agent_state=all_state[:, None],

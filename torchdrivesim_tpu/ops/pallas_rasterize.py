@@ -250,3 +250,145 @@ def rasterize_hard_pallas(corners: jnp.ndarray, z: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, 3, n_pixels), jnp.float32),
     )(coef, zbits, rgb, bg_flat)
     return out.reshape(b, 3, res, res)
+
+
+# ---------------------------------------------------------------------------
+# Typed-primitive kernel: quads (vehicle boxes, stoplines) + triangles
+# ---------------------------------------------------------------------------
+
+def _raster_kernel_prims(qcoef_ref, qpk_ref, tcoef_ref, tpk_ref, bg_ref,
+                         out_ref, *, res):
+    """Mixed quad + triangle rasterization, packed-winner resolution.
+
+    A quad (any parallelogram: boxes stay parallelograms under the rigid
+    camera transform) is tested with TWO affine strip coordinates in [0, 1]
+    instead of the six edge functions of its two triangles -- half the
+    per-pixel work for box-shaped content, which is most of a driving scene.
+    """
+    px, py = _pixel_coords(res)
+    sentinel = np.int32(0x7FFFFFFF)
+
+    def affine(coef_ref, k):
+        c = coef_ref[0, k]
+        return c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]
+
+    # quads: inside iff both strip coordinates land in [0, 1]
+    g = jnp.maximum(jnp.abs(affine(qcoef_ref, 0) - 0.5),
+                    jnp.abs(affine(qcoef_ref, 1) - 0.5))
+    qv = jnp.where(g <= 0.5, qpk_ref[0], sentinel)
+    best = jnp.min(qv, axis=0, keepdims=True)            # (1, pixels)
+
+    # triangles: canonicalized winding, inside iff all edges >= 0
+    emin = jnp.minimum(jnp.minimum(affine(tcoef_ref, 0), affine(tcoef_ref, 1)),
+                       affine(tcoef_ref, 2))
+    tv = jnp.where(emin >= 0, tpk_ref[0], sentinel)
+    best = jnp.minimum(best, jnp.min(tv, axis=0, keepdims=True))
+
+    covered = best < (127 << 24)                         # valid ranks <= 126
+    out_ref[0] = jnp.where(covered, _unpack_rgb(best), bg_ref[0])
+
+
+def _pad_prims(arrs, n, target, fill=0):
+    if n == target:
+        return arrs
+    return [jnp.pad(a, ((0, 0), (0, target - n)) + ((0, 0),) * (a.ndim - 2),
+                    constant_values=fill) for a in arrs]
+
+
+def rasterize_hard_pallas_prims(quads: jnp.ndarray, qz: jnp.ndarray,
+                                qcolors: jnp.ndarray, tris: jnp.ndarray,
+                                tz: jnp.ndarray, tcolors: jnp.ndarray,
+                                res: int, background: jnp.ndarray
+                                ) -> jnp.ndarray:
+    """
+    Hard z-priority rasterization of typed primitives.
+
+    Args:
+        quads: (B, Q, 4, 2) screen corners in CYCLE order (c0, c1, c2, c3
+            with c2 opposite c0); parallelograms (boxes under any rigid
+            camera transform) are tested exactly.
+        qz / tz: (B, Q) / (B, T) priorities (lower on top), shared scale.
+        qcolors / tcolors: (..., 3) in [0, 1] (carried as packed RGB8).
+        tris: (B, T, 3, 2) screen corners.
+        background: (B, 3, H, W) channels-first.
+    Returns:
+        (B, 3, H, W) image in [0, 1].
+    """
+    b, q = qz.shape
+    t = tz.shape[1]
+    n = q + t
+    assert n <= 127, "prim path supports <= 127 primitives after culling"
+    n_pixels = res * res
+    assert n_pixels % PIXELS_PER_TILE == 0
+
+    # joint z ordering -> 7-bit rank (ties resolve to quads, then index)
+    z = jnp.concatenate([qz, tz], axis=1)
+    z = z + jnp.arange(n, dtype=z.dtype)[None, :] * min(1e-4, 0.09 / max(n, 1))
+    zpos = (z - jnp.min(z, axis=1, keepdims=True) + 1.0).astype(jnp.float32)
+    rank = jnp.sum(zpos[:, None, :] < zpos[:, :, None], axis=-1,
+                   dtype=jnp.int32)
+    colors = jnp.concatenate([qcolors, tcolors], axis=1)
+    c8 = jnp.clip(jnp.round(colors * 255.0), 0, 255).astype(jnp.int32)
+    rgb = (c8[..., 0] << 16) | (c8[..., 1] << 8) | c8[..., 2]
+    packed = (rank << 24) | rgb
+
+    # quad affine coordinates (exact for any parallelogram): with sides
+    # e1, e2 from c0, p = c0 + f1*e1 + f2*e2 and inside iff f1, f2 in [0, 1];
+    # f1(p) = cross(p - c0, e2) / cross(e1, e2) is affine in p
+    c0 = quads[:, :, 0]
+    e1 = quads[:, :, 1] - c0
+    e2 = quads[:, :, 3] - c0
+    cross = e1[..., 0] * e2[..., 1] - e1[..., 1] * e2[..., 0]
+    q_valid = jnp.abs(cross) > 1e-9
+    d = jnp.where(q_valid, cross, 1.0)[..., None]
+
+    def affine_coords(n):
+        a = n / d                                        # (B, Q, 2)
+        c = -jnp.sum(a * c0, axis=-1, keepdims=True)
+        return jnp.concatenate([a, c], axis=-1)          # (B, Q, 3)
+
+    perp = lambda e: jnp.stack([e[..., 1], -e[..., 0]], axis=-1)
+    qcoef = jnp.stack([affine_coords(perp(e2)),
+                       affine_coords(-perp(e1))], axis=1)  # (B, 2, Q, 3)
+
+    tcoef, area = _edge_coefficients_edge_major(tris)
+    tcoef = tcoef * jnp.sign(area)[:, None, :, None]
+    t_valid = jnp.abs(area) > 1e-9
+
+    sentinel = np.int32(0x7FFFFFFF)
+    qpk = jnp.where(q_valid, packed[:, :q], sentinel)[..., None]
+    tpk = jnp.where(t_valid, packed[:, q:], sentinel)[..., None]
+
+    # pad both prim types to sublane multiples (degenerate = sentinel packed,
+    # all-zero coefficients read "inside" but never win)
+    qp = max(8, -(-q // 8) * 8)
+    tp = max(8, -(-t // 8) * 8)
+    qcoef, = _pad_prims([jnp.swapaxes(qcoef, 1, 2)], q, qp)
+    qcoef = jnp.swapaxes(qcoef, 1, 2)
+    qpk, = _pad_prims([qpk], q, qp, fill=int(sentinel))
+    tcoef, = _pad_prims([jnp.swapaxes(tcoef, 1, 2)], t, tp)
+    tcoef = jnp.swapaxes(tcoef, 1, 2)
+    tpk, = _pad_prims([tpk], t, tp, fill=int(sentinel))
+
+    bg_flat = background.reshape(b, 3, n_pixels)
+    grid = (b, n_pixels // PIXELS_PER_TILE)
+    out = pl.pallas_call(
+        functools.partial(_raster_kernel_prims, res=res),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2, qp, 3), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qp, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tp, 3), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, PIXELS_PER_TILE), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, PIXELS_PER_TILE), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 3, n_pixels), jnp.float32),
+    )(qcoef, qpk, tcoef, tpk, bg_flat)
+    return out.reshape(b, 3, res, res)

@@ -146,6 +146,32 @@ def cull_faces_to_view(corners: jnp.ndarray, z: jnp.ndarray, color: jnp.ndarray,
     return corners, z, color
 
 
+def cull_prims_to_view(corners: jnp.ndarray, z: jnp.ndarray,
+                       color: jnp.ndarray, res: int, keep: int):
+    """
+    :func:`cull_faces_to_view` for K-corner primitives (quads, triangles).
+
+    Args:
+        corners: (B, N, K, 2) screen-space corners; z: (B, N); color (B, N, 3).
+    Returns:
+        (corners (B, keep, K, 2), z, color).
+    """
+    n = corners.shape[1]
+    if n <= keep:
+        return corners, z, color
+    center = jnp.mean(corners, axis=2)                      # (B, N, 2)
+    d2 = jnp.sum((center - res / 2.0) ** 2, axis=-1)
+    e1 = corners[:, :, 1] - corners[:, :, 0]
+    e2 = corners[:, :, -1] - corners[:, :, 0]
+    area = jnp.abs(e1[..., 0] * e2[..., 1] - e1[..., 1] * e2[..., 0])
+    d2 = jnp.where(area > DEGENERATE_AREA_EPS, d2, jnp.inf)
+    _, idx = jax.lax.top_k(-d2, keep)                       # (B, keep)
+    corners = jnp.take_along_axis(corners, idx[..., None, None], axis=1)
+    z = jnp.take_along_axis(z, idx, axis=1)
+    color = jnp.take_along_axis(color, idx[..., None], axis=1)
+    return corners, z, color
+
+
 def rasterize_hard(verts: jnp.ndarray, faces: jnp.ndarray, attrs: jnp.ndarray,
                    res: int, background: jnp.ndarray,
                    face_chunk: int = 16, cull_to: int = 0) -> jnp.ndarray:

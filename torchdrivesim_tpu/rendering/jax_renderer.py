@@ -23,8 +23,9 @@ import jax.numpy as jnp
 from torchdrivesim_tpu.mesh import RGBMesh
 from torchdrivesim_tpu.ops.grids import Grid2D
 from torchdrivesim_tpu.ops.rasterize import (
-    _face_arrays, camera_rows_cols, cull_faces_to_view, rasterize_hard,
-    rasterize_soft, sample_background, sample_background_packed,
+    _face_arrays, camera_rows_cols, cull_faces_to_view, cull_prims_to_view,
+    rasterize_hard, rasterize_soft, sample_background,
+    sample_background_packed,
 )
 from torchdrivesim_tpu.rendering.base import (
     BirdviewRenderer, Cameras, JaxRendererConfig, Resolution,
@@ -201,6 +202,76 @@ class JaxRenderer(BirdviewRenderer):
             from torchdrivesim_tpu.ops.rasterize import rasterize_hard_faces
             hwc = jnp.transpose(background, (0, 2, 3, 1))
             image = rasterize_hard_faces(sc_corners, z, colors, size, hwc,
+                                         face_chunk=self.cfg.face_chunk)
+            image = jnp.transpose(image, (0, 3, 1, 2))
+        return image * 255.0
+
+    def render_prims_chw(self, quads: jnp.ndarray, qz: jnp.ndarray,
+                         qcolors: jnp.ndarray, tris: jnp.ndarray,
+                         tz: jnp.ndarray, tcolors: jnp.ndarray,
+                         res: Resolution, cameras: Cameras) -> jnp.ndarray:
+        """
+        Render typed primitives (world-space quads in cycle order + triangles,
+        from ``BirdviewRGBMeshGenerator.generate_prims``) over the baked
+        background. Quads cost half their triangle pair in the kernel.
+
+        Returns:
+            (B, 3, H, W) float image in [0, 255].
+        """
+        assert res.width == res.height
+        size = res.width
+        b, q = qz.shape
+        t = tz.shape[1]
+        cam_xy, cam_sc, scale = cameras.xy, cameras.sc, cameras.scale
+        bg_color = jnp.asarray(self.get_color('background'), jnp.float32) / 255.0
+        use_pallas = self._use_pallas(size)
+        if (use_pallas and size == 128
+                and getattr(self, '_mip_pyramid', None) is not None):
+            from torchdrivesim_tpu.ops.pallas_warp import (
+                select_mip, warp_background_pallas)
+            mip = select_mip(self._mip_pyramid, fov=2.0 / scale)
+            background = warp_background_pallas(
+                mip, cam_xy, cam_sc, scale, bg_color,
+                left_handed=self.cfg.left_handed_coordinates)
+        elif self._packed_texture is not None:
+            background = sample_background_packed(
+                self._packed_texture, cam_xy, cam_sc, scale, size, bg_color,
+                left_handed=self.cfg.left_handed_coordinates,
+                downsample=self.cfg.background_downsample, chw=True)
+        else:
+            background = jnp.broadcast_to(
+                bg_color[None, :, None, None], (b, 3, size, size))
+
+        lh = self.cfg.left_handed_coordinates
+        sq = camera_rows_cols(quads.reshape(b, q * 4, 2), cam_xy, cam_sc,
+                              scale, size, left_handed=lh).reshape(b, q, 4, 2)
+        st = camera_rows_cols(tris.reshape(b, max(t, 1) * 3, 2)
+                              if t else jnp.zeros((b, 3, 2)),
+                              cam_xy, cam_sc, scale, size,
+                              left_handed=lh).reshape(b, max(t, 1), 3, 2)
+        if t == 0:
+            st = st[:, :0]
+        # cap each prim type so the packed 7-bit rank space (127) holds both
+        keep = max(8, (self.cfg.cull_max_faces or 64))
+        sq, qz, qcolors = cull_prims_to_view(sq, qz, qcolors, size,
+                                             min(keep, 56))
+        st, tz, tcolors = cull_prims_to_view(st, tz, tcolors, size,
+                                             min(keep, 56))
+        if use_pallas:
+            from torchdrivesim_tpu.ops.pallas_rasterize import (
+                rasterize_hard_pallas_prims)
+            image = rasterize_hard_pallas_prims(sq, qz, qcolors, st, tz,
+                                                tcolors, size, background)
+        else:
+            # XLA fallback: expand quads to their two triangles
+            from torchdrivesim_tpu.ops.rasterize import rasterize_hard_faces
+            t1 = sq[:, :, jnp.asarray([0, 1, 2])]
+            t2 = sq[:, :, jnp.asarray([0, 2, 3])]
+            corners = jnp.concatenate([t1, t2, st], axis=1)
+            z = jnp.concatenate([qz, qz + 1e-5, tz], axis=1)
+            colors = jnp.concatenate([qcolors, qcolors, tcolors], axis=1)
+            hwc = jnp.transpose(background, (0, 2, 3, 1))
+            image = rasterize_hard_faces(corners, z, colors, size, hwc,
                                          face_chunk=self.cfg.face_chunk)
             image = jnp.transpose(image, (0, 3, 1, 2))
         return image * 255.0

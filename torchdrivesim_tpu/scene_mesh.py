@@ -435,3 +435,84 @@ class BirdviewRGBMeshGenerator:
         z = jnp.concatenate([p[1] for p in parts], axis=1)
         colors = jnp.concatenate([p[2] for p in parts], axis=1)
         return corners, z, colors
+
+    def generate_prims(self, agent_state: jnp.ndarray,
+                       present_mask: Optional[jnp.ndarray] = None,
+                       traffic_light_state: Optional[jnp.ndarray] = None,
+                       waypoints: Optional[jnp.ndarray] = None,
+                       waypoints_rendering_mask: Optional[jnp.ndarray] = None):
+        """
+        Typed-primitive variant of :meth:`generate_faces`: box-shaped content
+        (agent bounding boxes, stoplines) as QUADS in cycle order, the rest
+        (direction markers, waypoint discs) as TRIANGLES. One quad carries
+        half the rasterizer work of its two triangles.
+
+        Returns:
+            (quads (B, Q, 4, 2), qz (B, Q), qcolors (B, Q, 3),
+             tris (B, T, 3, 2), tz (B, T), tcolors (B, T, 3));
+            absent agents' prims are degenerate (all-zero corners).
+        """
+        b, n_all = agent_state.shape[0], agent_state.shape[1]
+        local = self.actor_verts
+        actor_z = self.actor_z
+        actor_attrs = self.actor_attrs
+        light_verts = self.light_verts
+        if local.shape[0] != b:
+            reps = b // local.shape[0]
+            local = jnp.repeat(local, reps, axis=0)
+            actor_z = jnp.repeat(actor_z, reps, axis=0)
+            actor_attrs = jnp.repeat(actor_attrs, reps, axis=0)
+            if light_verts is not None:
+                light_verts = jnp.repeat(light_verts, reps, axis=0)
+        psi = agent_state[..., 2:3][..., None]
+        xy = agent_state[..., :2][..., None, :]
+        world = rotate(local, psi) + xy                     # (B, All, S, 2)
+
+        # template verts 0,1,3,2 cycle the bbox (faces [0,1,3] + [1,3,2])
+        cycle = np.asarray([0, 1, 3, 2])
+        quads = [world[:, :, cycle]]                        # (B, All, 4, 2)
+        qz = [jnp.broadcast_to(actor_z[:, :, 0], (b, n_all))]
+        qcol = [jnp.broadcast_to(actor_attrs[:, :, 0], (b, n_all, 3))]
+        tris, tz, tcol = [], [], []
+        if self.render_agent_direction:
+            tri = world[:, :, np.asarray([4, 5, 6])]
+            if present_mask is not None:
+                tri = jnp.where(present_mask[..., None, None], tri, 0.0)
+            tris.append(tri)
+            tz.append(jnp.broadcast_to(actor_z[:, :, 4], (b, n_all)))
+            tcol.append(jnp.broadcast_to(actor_attrs[:, :, 4], (b, n_all, 3)))
+        if present_mask is not None:
+            quads[0] = jnp.where(present_mask[..., None, None], quads[0], 0.0)
+
+        if light_verts is not None and traffic_light_state is not None:
+            nl = light_verts.shape[1]
+            quads.append(light_verts[:, :, cycle])
+            qz.append(jnp.full((b, nl), self.light_z))
+            qcol.append(self.light_color_table[traffic_light_state])
+
+        if waypoints is not None:
+            m = waypoints.shape[1]
+            vd_faces = np.asarray(self.waypoint_template_faces)
+            tri = jnp.asarray(self.waypoint_template_verts)[vd_faces]
+            wcorners = tri[None, None] + waypoints[:, :, None, None, :]
+            if waypoints_rendering_mask is not None:
+                wcorners = jnp.where(
+                    waypoints_rendering_mask[..., None, None, None],
+                    wcorners, 0.0)
+            fd = vd_faces.shape[0]
+            tris.append(wcorners.reshape(b, m * fd, 3, 2))
+            tz.append(jnp.full((b, m * fd), self.waypoint_z))
+            tcol.append(jnp.broadcast_to(self.waypoint_color, (b, m * fd, 3)))
+
+        quads = jnp.concatenate(quads, axis=1)
+        qz = jnp.concatenate(qz, axis=1)
+        qcol = jnp.concatenate(qcol, axis=1)
+        if tris:
+            tris = jnp.concatenate(tris, axis=1)
+            tz = jnp.concatenate(tz, axis=1)
+            tcol = jnp.concatenate(tcol, axis=1)
+        else:
+            tris = jnp.zeros((b, 0, 3, 2))
+            tz = jnp.zeros((b, 0))
+            tcol = jnp.zeros((b, 0, 3))
+        return quads, qz, qcol, tris, tz, tcol

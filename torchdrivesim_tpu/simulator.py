@@ -899,7 +899,7 @@ class Simulator:
 
         # gather-free fast path: face soup + Pallas raster over the baked
         # background (no custom colors / noisy perception support there)
-        fast = (hasattr(self.renderer, 'render_faces_chw')
+        fast = (hasattr(self.renderer, 'render_prims_chw')
                 and getattr(self.renderer, 'background_texture', None) is not None
                 and custom_agent_colors is None and not noisy_perception)
         if fast:
@@ -922,13 +922,13 @@ class Simulator:
             wpm_flat = waypoints_rendering_mask.reshape(
                 self.batch_size * n_cameras, -1) \
                 if waypoints_rendering_mask is not None else None
-            corners, zf, colors = generator.generate_faces(
+            quads, qz, qcol, tris, tz, tcol = generator.generate_prims(
                 states_flat, present_mask=masks_flat,
                 traffic_light_state=lights_flat, waypoints=wps_flat,
                 waypoints_rendering_mask=wpm_flat)
             scale = (2.0 / fov) if fov is not None else self.renderer.scale
-            image = self.renderer.render_faces_chw(
-                corners, zf, colors, res_used,
+            image = self.renderer.render_prims_chw(
+                quads, qz, qcol, tris, tz, tcol, res_used,
                 Cameras(camera_xy.reshape(-1, 2), camera_sc.reshape(-1, 2),
                         scale))
             return image.reshape(self.batch_size, n_cameras, 3,
