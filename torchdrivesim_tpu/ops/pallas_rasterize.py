@@ -272,9 +272,10 @@ def _raster_kernel_prims(qcoef_ref, qpk_ref, tcoef_ref, tpk_ref, bg_ref,
         c = coef_ref[0, k]
         return c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]
 
-    # quads: inside iff both strip coordinates land in [0, 1]
-    g = jnp.maximum(jnp.abs(affine(qcoef_ref, 0) - 0.5),
-                    jnp.abs(affine(qcoef_ref, 1) - 0.5))
+    # quads: inside iff both (pre-centered) affine coordinates land in
+    # [-1/2, 1/2] -- the 0.5 shift is folded into the constant coefficient
+    g = jnp.maximum(jnp.abs(affine(qcoef_ref, 0)),
+                    jnp.abs(affine(qcoef_ref, 1)))
     qv = jnp.where(g <= 0.5, qpk_ref[0], sentinel)
     best = jnp.min(qv, axis=0, keepdims=True)            # (1, pixels)
 
@@ -344,7 +345,8 @@ def rasterize_hard_pallas_prims(quads: jnp.ndarray, qz: jnp.ndarray,
 
     def affine_coords(n):
         a = n / d                                        # (B, Q, 2)
-        c = -jnp.sum(a * c0, axis=-1, keepdims=True)
+        # -0.5: center the coordinate so the kernel tests |f| <= 1/2
+        c = -jnp.sum(a * c0, axis=-1, keepdims=True) - 0.5
         return jnp.concatenate([a, c], axis=-1)          # (B, Q, 3)
 
     perp = lambda e: jnp.stack([e[..., 1], -e[..., 0]], axis=-1)
