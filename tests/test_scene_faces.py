@@ -149,3 +149,44 @@ def test_generate_prims_masks_and_waypoints():
     wp_tris = np.asarray(tris[:, -2 * fd:])
     assert np.abs(wp_tris[:, :fd]).max() > 0
     np.testing.assert_allclose(wp_tris[:, fd:], 0.0)
+
+
+def test_render_prims_culls_when_over_cap():
+    """Waypoint-heavy scenes exceed the per-type prim caps; the cull must
+    keep the view-relevant prims and the packed-rank kernel limit (127)."""
+    from tests.test_simulator import _build_simulator
+    from torchdrivesim_tpu.rendering.base import Cameras
+    sim = _build_simulator()
+    gen = sim.birdview_mesh_generator
+    renderer = sim.renderer
+    renderer.cfg.use_pallas = False
+
+    state = sim.state
+    all_state = jnp.concatenate([state.agent_state, state.npc_state], -2)
+    present = jnp.concatenate([state.present_mask, state.npc_present_mask], -1)
+    b = all_state.shape[0]
+    # 40 waypoints x waypoint-template faces >> the 56-per-type cap; the
+    # near ones (inside the fov) must survive culling, far ones must not
+    m = 40
+    near = np.tile(np.asarray([[12.0, 0.0]]), (m // 2, 1))
+    near += np.arange(m // 2)[:, None] * np.asarray([[0.5, 0.0]])
+    far = np.tile(np.asarray([[5000.0, 5000.0]]), (m // 2, 1))
+    wps = jnp.asarray(np.concatenate([near, far])[None].repeat(b, 0),
+                      jnp.float32)
+    mask = jnp.ones((b, m), dtype=bool)
+    quads, qz, qcol, tris, tz, tcol = gen.generate_prims(
+        all_state, present_mask=present, waypoints=wps,
+        waypoints_rendering_mask=mask)
+    assert tris.shape[1] > 56    # over the cap -> cull path
+
+    ego = state.agent_state[:, 0]
+    cams = Cameras(ego[:, :2],
+                   jnp.stack([jnp.sin(ego[:, 2]), jnp.cos(ego[:, 2])], -1),
+                   2.0 / 40)
+    img = np.asarray(renderer.render_prims_chw(
+        quads, qz, qcol, tris, tz, tcol, Resolution(64, 64), cams))
+    assert np.isfinite(img).all()
+    # waypoint color must appear (near waypoints survived the cull)
+    wcol = np.asarray(gen.waypoint_color) * 255.0
+    hits = (np.abs(img - wcol[None, :, None, None]) < 20).all(axis=1).sum()
+    assert hits > 0
