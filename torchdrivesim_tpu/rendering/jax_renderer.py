@@ -251,12 +251,12 @@ class JaxRenderer(BirdviewRenderer):
                               left_handed=lh).reshape(b, max(t, 1), 3, 2)
         if t == 0:
             st = st[:, :0]
-        # cap each prim type so the packed 7-bit rank space (127) holds both
-        keep = max(8, (self.cfg.cull_max_faces or 64))
-        sq, qz, qcolors = cull_prims_to_view(sq, qz, qcolors, size,
-                                             min(keep, 56))
-        st, tz, tcolors = cull_prims_to_view(st, tz, tcolors, size,
-                                             min(keep, 56))
+        # cap each prim type at half the face budget (the cull keeps the
+        # view-nearest prims, so only off-screen content is dropped) -- and
+        # within the packed 7-bit rank space (127) across both types
+        keep = min(max(8, (self.cfg.cull_max_faces or 64) // 2), 56)
+        sq, qz, qcolors = cull_prims_to_view(sq, qz, qcolors, size, keep)
+        st, tz, tcolors = cull_prims_to_view(st, tz, tcolors, size, keep)
         if use_pallas:
             from torchdrivesim_tpu.ops.pallas_rasterize import (
                 rasterize_hard_pallas_prims)
