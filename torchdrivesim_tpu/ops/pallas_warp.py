@@ -96,22 +96,24 @@ def _gather_lanes_256(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(idx < 128, lo, hi)
 
 
-def _warp_kernel(fcoef_ref, icoef_ref, tex_ref, out_ref, win_ref, sem):
-    # per-camera scalars (origins are tile-aligned by the wrapper)
-    oy = pl.multiple_of(icoef_ref[0, 0, 0], 8)
-    ox = pl.multiple_of(icoef_ref[0, 0, 1], 128)
-    flip = icoef_ref[0, 0, 2]                    # 1 -> use transposed window
-    bg_packed = icoef_ref[0, 0, 3]
-    f = lambda k: fcoef_ref[0, 0, k]
-    va, vb, vc = f(0), f(1), f(2)
-    ha, hb, hc = f(3), f(4), f(5)
-    ty_a, ty_b, ty_c = f(6), f(7), f(8)
-    tx_a, tx_b, tx_c = f(9), f(10), f(11)
-    h_tex, w_tex = f(12), f(13)
+#: cameras per kernel program: the per-camera compute is tiny, so program
+#: overhead and DMA latency dominate -- batching amortizes both (the window
+#: copies are all started before the first camera's compute)
+CAMS_PER_PROGRAM = 4
 
-    dma = pltpu.make_async_copy(
-        tex_ref.at[pl.ds(oy, WINDOW), pl.ds(ox, WINDOW)], win_ref, sem)
-    dma.start()
+
+def _warp_kernel(fcoef_ref, icoef_ref, tex_ref, out_ref, win_ref, sem, *,
+                 cams):
+    # start ALL window DMAs up front so the copies overlap camera compute
+    dmas = []
+    for c in range(cams):
+        oy = pl.multiple_of(icoef_ref[c, 0, 0], 8)
+        ox = pl.multiple_of(icoef_ref[c, 0, 1], 128)
+        dma = pltpu.make_async_copy(
+            tex_ref.at[pl.ds(oy, WINDOW), pl.ds(ox, WINDOW)],
+            win_ref.at[c], sem.at[c])
+        dma.start()
+        dmas.append(dma)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 0).astype(jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 1).astype(jnp.float32)
@@ -120,31 +122,41 @@ def _warp_kernel(fcoef_ref, icoef_ref, tex_ref, out_ref, win_ref, sem):
     cols256 = jax.lax.broadcasted_iota(
         jnp.int32, (WINDOW, RES), 1).astype(jnp.float32)
 
-    # pass-1 indices on the (window-row, output-col) grid: h(r', c)
-    h_idx = jnp.floor(ha * rows256 + hb * cols256 + hc + 0.5).astype(jnp.int32)
-    h_idx = jnp.clip(h_idx, 0, WINDOW - 1)
-    # pass-2 indices on the TRANSPOSED output grid (dim0 = c, dim1 = r):
-    # v(r, c) with r = cols iota, c = rows iota
-    v_idx_t = jnp.floor(va * cols + vb * rows + vc + 0.5).astype(jnp.int32)
-    v_idx_t = jnp.clip(v_idx_t, 0, WINDOW - 1)
-    # validity in TEXTURE coordinates, evaluated at output (r, c)
-    ty = ty_a * rows + ty_b * cols + ty_c
-    tx = tx_a * rows + tx_b * cols + tx_c
-    valid = (ty >= 0) & (ty < h_tex) & (tx >= 0) & (tx < w_tex)
+    for c in range(cams):
+        flip = icoef_ref[c, 0, 2]                # 1 -> use transposed window
+        bg_packed = icoef_ref[c, 0, 3]
+        f = lambda k: fcoef_ref[c, 0, k]
+        va, vb, vc = f(0), f(1), f(2)
+        ha, hb, hc = f(3), f(4), f(5)
+        ty_a, ty_b, ty_c = f(6), f(7), f(8)
+        tx_a, tx_b, tx_c = f(9), f(10), f(11)
+        h_tex, w_tex = f(12), f(13)
 
-    dma.wait()
-    window = win_ref[...]                        # (256, 256)
-    window = jnp.where(flip == 1, window.T, window)
+        # pass-1 indices on the (window-row, output-col) grid: h(r', c)
+        h_idx = jnp.floor(ha * rows256 + hb * cols256 + hc + 0.5).astype(jnp.int32)
+        h_idx = jnp.clip(h_idx, 0, WINDOW - 1)
+        # pass-2 indices on the TRANSPOSED output grid (dim0 = c, dim1 = r):
+        # v(r, c) with r = cols iota, c = rows iota
+        v_idx_t = jnp.floor(va * cols + vb * rows + vc + 0.5).astype(jnp.int32)
+        v_idx_t = jnp.clip(v_idx_t, 0, WINDOW - 1)
+        # validity in TEXTURE coordinates, evaluated at output (r, c)
+        ty = ty_a * rows + ty_b * cols + ty_c
+        tx = tx_a * rows + tx_b * cols + tx_c
+        valid = (ty >= 0) & (ty < h_tex) & (tx >= 0) & (tx < w_tex)
 
-    tmp = _gather_lanes_256(window, h_idx)       # (256, 128)
-    out_t = _gather_lanes_256(tmp.T, v_idx_t)    # (128, 128), transposed
-    packed = out_t.T
-    packed = jnp.where(valid, packed, bg_packed)
+        dmas[c].wait()
+        window = win_ref[c]                      # (256, 256)
+        window = jnp.where(flip == 1, window.T, window)
 
-    inv255 = 1.0 / 255.0
-    out_ref[0, 0] = (packed & 0xFF).astype(jnp.float32) * inv255
-    out_ref[0, 1] = ((packed >> 8) & 0xFF).astype(jnp.float32) * inv255
-    out_ref[0, 2] = ((packed >> 16) & 0xFF).astype(jnp.float32) * inv255
+        tmp = _gather_lanes_256(window, h_idx)   # (256, 128)
+        out_t = _gather_lanes_256(tmp.T, v_idx_t)  # (128, 128), transposed
+        packed = out_t.T
+        packed = jnp.where(valid, packed, bg_packed)
+
+        inv255 = 1.0 / 255.0
+        out_ref[c, 0] = (packed & 0xFF).astype(jnp.float32) * inv255
+        out_ref[c, 1] = ((packed >> 8) & 0xFF).astype(jnp.float32) * inv255
+        out_ref[c, 2] = ((packed >> 16) & 0xFF).astype(jnp.float32) * inv255
 
 
 def warp_background_pallas(mip: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray,
@@ -242,22 +254,31 @@ def warp_background_pallas(mip: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray
         jnp.broadcast_to(bg_packed, (b,)),
     ], axis=-1).astype(jnp.int32)[:, None, :]              # (B, 1, 4)
 
+    cams = min(CAMS_PER_PROGRAM, b)
+    b_pad = -(-b // cams) * cams
+    if b_pad != b:
+        pad = ((0, b_pad - b), (0, 0), (0, 0))
+        fcoef = jnp.pad(fcoef, pad, mode='edge')
+        icoef = jnp.pad(icoef, pad, mode='edge')
+
     out = pl.pallas_call(
-        _warp_kernel,
-        grid=(b,),
+        functools.partial(_warp_kernel, cams=cams),
+        grid=(b_pad // cams,),
         in_specs=[
-            pl.BlockSpec((1, 1, 14), lambda i: (i, 0, 0),
+            pl.BlockSpec((cams, 1, 14), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
+            pl.BlockSpec((cams, 1, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 3, res, res), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((cams, 3, res, res), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 3, res, res), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, 3, res, res), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((WINDOW, WINDOW), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((cams, WINDOW, WINDOW), jnp.int32),
+            pltpu.SemaphoreType.DMA((cams,)),
         ],
     )(fcoef, icoef, mip.data[..., 0])
+    if b_pad != b:
+        out = out[:b]
     return out
