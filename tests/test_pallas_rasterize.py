@@ -141,3 +141,122 @@ def test_pallas_prims_degenerate_and_empty():
         tris, jnp.zeros((1, 0)), jnp.zeros((1, 0, 3)),
         res, jnp.zeros((1, 3, res, res))))
     np.testing.assert_allclose(img, 0.0)
+
+
+def _random_prims(seed, b=2, nq=12, nt=9):
+    rng = np.random.RandomState(seed)
+    c0 = rng.uniform(0, 110, (b, nq, 1, 2))
+    u = rng.uniform(-25, 25, (b, nq, 1, 2))
+    v = rng.uniform(-25, 25, (b, nq, 1, 2))
+    quads = np.concatenate([c0, c0 + u, c0 + u + v, c0 + v], axis=2)
+    tris = rng.uniform(-10, 138, (b, nt, 3, 2))
+    qz = rng.uniform(1, 10, (b, nq))
+    tz = rng.uniform(1, 10, (b, nt))
+    qc = rng.uniform(0, 1, (b, nq, 3))
+    tc = rng.uniform(0, 1, (b, nt, 3))
+    return tuple(jnp.asarray(a, jnp.float32)
+                 for a in (quads, qz, qc, tris, tz, tc))
+
+def _sorted_with_masks(quads, qz, qc, tris, tz, tc, res, cap=56):
+    from torchdrivesim_tpu.ops.rasterize import (
+        prim_band_chunk_masks, sort_prims_rowmajor)
+    n_bands = (res * res) // pr.PIXELS_PER_TILE
+    quads, qz, qc = sort_prims_rowmajor(quads, qz, qc, res, cap)
+    tris, tz, tc = sort_prims_rowmajor(tris, tz, tc, res, cap)
+    qmask = prim_band_chunk_masks(quads, res, n_bands)
+    tmask = prim_band_chunk_masks(tris, res, n_bands)
+    return quads, qz, qc, tris, tz, tc, qmask, tmask
+
+
+def test_banded_prims_match_unbanded():
+    """Chunk-mask skipping must never change the image: the banded kernel on
+    row-major-sorted prims equals the unbanded kernel on the same prims."""
+    res = 128
+    quads, qz, qc, tris, tz, tc = _random_prims(11)
+    bg = jnp.broadcast_to(jnp.asarray([0.2, 0.1, 0.0]),
+                          (2, res, res, 3)).transpose(0, 3, 1, 2)
+    sq, sqz, sqc, st, stz, stc, qm, tm = _sorted_with_masks(
+        quads, qz, qc, tris, tz, tc, res)
+    want = np.asarray(pr.rasterize_hard_pallas_prims(
+        sq, sqz, sqc, st, stz, stc, res, bg))
+    got = np.asarray(pr.rasterize_hard_pallas_prims_banded(
+        sq, sqz, sqc, st, stz, stc, res, bg, qm, tm))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert got.max() > 0
+
+
+def test_banded_dense_band_exact():
+    """A band holding MANY prims (three bumper-to-bumper lanes crossing one
+    32-row band) still renders exactly: masks are conservative, nothing is
+    dropped below the per-camera cap."""
+    res = 128
+    b = 1
+    boxes = []
+    for lane in range(3):
+        r = 40.0 + 8.0 * lane          # three horizontal lanes in band 1
+        for i in range(12):
+            c = 4.0 + 10.0 * i
+            boxes.append((r, c))
+    nq = len(boxes)
+    quads = np.zeros((b, nq, 4, 2), np.float32)
+    for k, (r, c) in enumerate(boxes):
+        quads[0, k] = [[r - 2, c - 4], [r - 2, c + 4],
+                       [r + 2, c + 4], [r + 2, c - 4]]
+    rng = np.random.RandomState(2)
+    qz = jnp.asarray(rng.uniform(1, 5, (b, nq)), jnp.float32)
+    qc = jnp.asarray(rng.uniform(0, 1, (b, nq, 3)), jnp.float32)
+    tris = jnp.zeros((b, 0, 3, 2))
+    tz = jnp.zeros((b, 0))
+    tc = jnp.zeros((b, 0, 3))
+    bg = jnp.zeros((b, 3, res, res))
+    sq, sqz, sqc, st, stz, stc, qm, tm = _sorted_with_masks(
+        jnp.asarray(quads), qz, qc, tris, tz, tc, res)
+    want = np.asarray(pr.rasterize_hard_pallas_prims(
+        sq, sqz, sqc, st, stz, stc, res, bg))
+    got = np.asarray(pr.rasterize_hard_pallas_prims_banded(
+        sq, sqz, sqc, st, stz, stc, res, bg, qm, tm))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert got.max() > 0
+    # bands 0/2/3 hold nothing: their quad masks must be all-dead
+    assert np.asarray(qm)[0, 0].sum() == 0
+    assert np.asarray(qm)[0, 1].sum() > 0
+
+
+def test_sort_prims_overcap_keeps_view_nearest():
+    from torchdrivesim_tpu.ops.rasterize import sort_prims_rowmajor
+    res = 128
+    b, n, cap = 1, 60, 56
+    rng = np.random.RandomState(4)
+    centers = rng.uniform(10, 118, (b, n, 1, 2)).astype(np.float32)
+    quads = centers + np.asarray(
+        [[-1, -1], [-1, 1], [1, 1], [1, -1]], np.float32) * 2.0
+    z = jnp.asarray(rng.uniform(1, 9, (b, n)), jnp.float32)
+    col = jnp.asarray(rng.uniform(0, 1, (b, n, 3)), jnp.float32)
+    sc, sz, scol = sort_prims_rowmajor(jnp.asarray(quads), z, col, res, cap)
+    assert sc.shape[1] == cap
+    d2 = ((centers[0, :, 0] - 64.0) ** 2).sum(-1)
+    want_kept = set(np.argsort(d2)[:cap].tolist())
+    got_centers = np.asarray(sc[0]).mean(axis=1)
+    got_d2 = ((got_centers - 64.0) ** 2).sum(-1)
+    # kept set is exactly the view-nearest prims (match by distance values)
+    np.testing.assert_allclose(np.sort(got_d2), np.sort(d2[list(want_kept)]),
+                               rtol=1e-5)
+    # and the kept prims are row-major sorted by top row
+    rmins = np.asarray(sc[0, :, :, 0].min(axis=1))
+    assert (np.diff(rmins) >= -1e-5).all()
+
+
+def test_banded_empty_band_renders_background():
+    res = 128
+    quads, qz, qc, tris, tz, tc = _random_prims(5, nq=3, nt=2)
+    # push everything into the top band
+    quads = quads.at[..., 0].set(quads[..., 0] * 0.2)
+    tris = tris.at[..., 0].set(jnp.abs(tris[..., 0]) * 0.2)
+    bg = jnp.broadcast_to(jnp.asarray([0.5, 0.25, 0.125]),
+                          (2, res, res, 3)).transpose(0, 3, 1, 2)
+    sq, sqz, sqc, st, stz, stc, qm, tm = _sorted_with_masks(
+        quads, qz, qc, tris, tz, tc, res)
+    got = np.asarray(pr.rasterize_hard_pallas_prims_banded(
+        sq, sqz, sqc, st, stz, stc, res, bg, qm, tm))
+    np.testing.assert_allclose(got[:, :, 64:], np.asarray(bg)[:, :, 64:],
+                               atol=1e-6)

@@ -1,0 +1,116 @@
+"""Ablate the banded prim-render pipeline INSIDE a jitted scan (isolated
+timings are dispatch-dominated; see CLAUDE.md). Each variant runs the same
+prim generation + camera transform, then a different cull/raster tail.
+
+Usage: python tools/ablate_banded.py [variant ...]
+Variants: gen, old, bandcull, banded, counted_full
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/tds_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import jax.numpy as jnp
+import numpy as np
+
+from torchdrivesim_tpu.benchmark import build_benchmark_scenario
+from torchdrivesim_tpu.ops.rasterize import (
+    camera_rows_cols, cull_prims_to_view, prim_band_chunk_masks,
+    sort_prims_rowmajor)
+import torchdrivesim_tpu.ops.pallas_rasterize as pr
+
+B = int(os.environ.get('AB_BATCH', 256))
+RES = 128
+STEPS = 50
+
+
+def main():
+    sc = build_benchmark_scenario(batch_size=B, agent_count=20, res=RES)
+    sim = sc.sim
+    state = sim.state
+    gen = sim.birdview_mesh_generator
+    renderer = sim.renderer
+    all_state = jnp.concatenate([state.agent_state, state.npc_state], -2)
+    present = jnp.concatenate([state.present_mask, state.npc_present_mask], -1)
+    lights = state.traffic_control_state['traffic_light']
+    from torchdrivesim_tpu.ops.pallas_warp import select_mip, warp_background_pallas
+    mip = select_mip(renderer._mip_pyramid, fov=70.0)
+    bg_color = jnp.zeros(3)
+
+    def common(carry):
+        st = carry + 0.01  # perturb so the scan isn't constant-folded
+        quads, qz, qc, tris, tz, tc = gen.generate_prims(
+            st, present_mask=present, traffic_light_state=lights)
+        ego = st[:, 0]
+        cam_xy = ego[:, :2]
+        cam_sc = jnp.stack([jnp.sin(ego[:, 2]), jnp.cos(ego[:, 2])], -1)
+        scale = 2.0 / 70
+        b, q = qz.shape
+        t = tz.shape[1]
+        sq = camera_rows_cols(quads.reshape(b, q * 4, 2), cam_xy, cam_sc,
+                              scale, RES).reshape(b, q, 4, 2)
+        stt = camera_rows_cols(tris.reshape(b, t * 3, 2), cam_xy, cam_sc,
+                               scale, RES).reshape(b, t, 3, 2)
+        bg = warp_background_pallas(mip, cam_xy, cam_sc, scale, bg_color)
+        return st, (sq, qz, qc, stt, tz, tc, bg)
+
+    def tail_gen(args):
+        sq, qz, qc, stt, tz, tc, bg = args
+        return jnp.sum(sq) + jnp.sum(stt) + jnp.sum(bg)
+
+    def tail_old(args):
+        sq, qz, qc, stt, tz, tc, bg = args
+        sq, qz, qc = cull_prims_to_view(sq, qz, qc, RES, 56)
+        stt, tz, tc = cull_prims_to_view(stt, tz, tc, RES, 56)
+        img = pr.rasterize_hard_pallas_prims(sq, qz, qc, stt, tz, tc, RES, bg)
+        return jnp.sum(img)
+
+    def sortmask(args):
+        sq, qz, qc, stt, tz, tc, bg = args
+        sq, qz, qc = sort_prims_rowmajor(sq, qz, qc, RES, 56)
+        stt, tz, tc = sort_prims_rowmajor(stt, tz, tc, RES, 56)
+        qm = prim_band_chunk_masks(sq, RES, 4)
+        tm = prim_band_chunk_masks(stt, RES, 4)
+        return sq, qz, qc, stt, tz, tc, qm, tm, bg
+
+    def tail_sortmask(args):
+        sq, qz, qc, stt, tz, tc, qm, tm, bg = sortmask(args)
+        return (jnp.sum(sq) + jnp.sum(stt) + jnp.sum(qc) + jnp.sum(tc)
+                + jnp.sum(qm) + jnp.sum(tm) + jnp.sum(bg))
+
+    def tail_banded(args):
+        sq, qz, qc, stt, tz, tc, qm, tm, bg = sortmask(args)
+        img = pr.rasterize_hard_pallas_prims_banded(
+            sq, qz, qc, stt, tz, tc, RES, bg, qm, tm)
+        return jnp.sum(img)
+
+    tails = {'gen': tail_gen, 'old': tail_old, 'sortmask': tail_sortmask,
+             'banded': tail_banded}
+    which = sys.argv[1:] or list(tails)
+
+    for name in which:
+        tail = tails[name]
+
+        def body(carry, _):
+            carry, args = common(carry)
+            return carry, tail(args)
+
+        @jax.jit
+        def run(st):
+            return jax.lax.scan(body, st, None, length=STEPS)
+
+        out = run(all_state)
+        jax.tree.map(lambda x: x.block_until_ready(), out)
+        t0 = time.perf_counter()
+        out = run(all_state)
+        jax.tree.map(lambda x: x.block_until_ready(), out)
+        dt = (time.perf_counter() - t0) / STEPS * 1000
+        print(f"{name}: {dt:.3f} ms/step (B={B})", flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -289,6 +289,46 @@ def _raster_kernel_prims(qcoef_ref, qpk_ref, tcoef_ref, tpk_ref, bg_ref,
     out_ref[0] = jnp.where(covered, _unpack_rgb(best), bg_ref[0])
 
 
+def _raster_kernel_prims_masked(qm_ref, tm_ref, qcoef_ref, qpk_ref,
+                                tcoef_ref, tpk_ref, bg_ref, out_ref,
+                                best_ref, *, res, qp, tp, chunk):
+    """:func:`_raster_kernel_prims` with per-(band, chunk) occupancy masks:
+    prims come row-major sorted (visible first), and a chunk whose prims
+    cannot touch this program's pixel band is skipped via ``@pl.when`` --
+    per-pixel VPU work scales with the band's actual prim density, not the
+    static budget. Masks are conservative bbox tests, so skipping is exact."""
+    px, py = _pixel_coords(res)
+    sentinel = np.int32(0x7FFFFFFF)
+    best_ref[:] = jnp.full((1, PIXELS_PER_TILE), sentinel, jnp.int32)
+
+    def affine(c):
+        return c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]
+
+    for ci, s in enumerate(range(0, qp, chunk)):
+        @pl.when(qm_ref[0, 0, 0, ci] != 0)
+        def _(s=s):
+            g = jnp.maximum(jnp.abs(affine(qcoef_ref[0, 0, s:s + chunk])),
+                            jnp.abs(affine(qcoef_ref[0, 1, s:s + chunk])))
+            qv = jnp.where(g <= 0.5, qpk_ref[0, s:s + chunk], sentinel)
+            best_ref[:] = jnp.minimum(best_ref[:],
+                                      jnp.min(qv, axis=0, keepdims=True))
+
+    for ci, s in enumerate(range(0, tp, chunk)):
+        @pl.when(tm_ref[0, 0, 0, ci] != 0)
+        def _(s=s):
+            emin = jnp.minimum(
+                jnp.minimum(affine(tcoef_ref[0, 0, s:s + chunk]),
+                            affine(tcoef_ref[0, 1, s:s + chunk])),
+                affine(tcoef_ref[0, 2, s:s + chunk]))
+            tv = jnp.where(emin >= 0, tpk_ref[0, s:s + chunk], sentinel)
+            best_ref[:] = jnp.minimum(best_ref[:],
+                                      jnp.min(tv, axis=0, keepdims=True))
+
+    best = best_ref[:]
+    covered = best < (127 << 24)                         # valid ranks <= 126
+    out_ref[0] = jnp.where(covered, _unpack_rgb(best), bg_ref[0])
+
+
 def _pad_prims(arrs, n, target, fill=0):
     if n == target:
         return arrs
@@ -296,31 +336,16 @@ def _pad_prims(arrs, n, target, fill=0):
                     constant_values=fill) for a in arrs]
 
 
-def rasterize_hard_pallas_prims(quads: jnp.ndarray, qz: jnp.ndarray,
-                                qcolors: jnp.ndarray, tris: jnp.ndarray,
-                                tz: jnp.ndarray, tcolors: jnp.ndarray,
-                                res: int, background: jnp.ndarray
-                                ) -> jnp.ndarray:
-    """
-    Hard z-priority rasterization of typed primitives.
+def _prep_prims(quads, qz, qcolors, tris, tz, tcolors):
+    """Per-camera kernel operands from typed primitives (any leading batch).
 
-    Args:
-        quads: (B, Q, 4, 2) screen corners in CYCLE order (c0, c1, c2, c3
-            with c2 opposite c0); parallelograms (boxes under any rigid
-            camera transform) are tested exactly.
-        qz / tz: (B, Q) / (B, T) priorities (lower on top), shared scale.
-        qcolors / tcolors: (..., 3) in [0, 1] (carried as packed RGB8).
-        tris: (B, T, 3, 2) screen corners.
-        background: (B, 3, H, W) channels-first.
-    Returns:
-        (B, 3, H, W) image in [0, 1].
+    Returns (qcoef (B, 2, QP, 3), qpk (B, QP, 1), tcoef (B, 3, TP, 3),
+    tpk (B, TP, 1)) with both prim types padded to sublane multiples.
     """
     b, q = qz.shape
     t = tz.shape[1]
     n = q + t
     assert n <= 127, "prim path supports <= 127 primitives after culling"
-    n_pixels = res * res
-    assert n_pixels % PIXELS_PER_TILE == 0
 
     # joint z ordering -> 7-bit rank (ties resolve to quads, then index)
     z = jnp.concatenate([qz, tz], axis=1)
@@ -371,6 +396,33 @@ def rasterize_hard_pallas_prims(quads: jnp.ndarray, qz: jnp.ndarray,
     tcoef, = _pad_prims([jnp.swapaxes(tcoef, 1, 2)], t, tp)
     tcoef = jnp.swapaxes(tcoef, 1, 2)
     tpk, = _pad_prims([tpk], t, tp, fill=int(sentinel))
+    return qcoef, qpk, tcoef, tpk
+
+
+def rasterize_hard_pallas_prims(quads: jnp.ndarray, qz: jnp.ndarray,
+                                qcolors: jnp.ndarray, tris: jnp.ndarray,
+                                tz: jnp.ndarray, tcolors: jnp.ndarray,
+                                res: int, background: jnp.ndarray
+                                ) -> jnp.ndarray:
+    """
+    Hard z-priority rasterization of typed primitives.
+
+    Args:
+        quads: (B, Q, 4, 2) screen corners in CYCLE order (c0, c1, c2, c3
+            with c2 opposite c0); parallelograms (boxes under any rigid
+            camera transform) are tested exactly.
+        qz / tz: (B, Q) / (B, T) priorities (lower on top), shared scale.
+        qcolors / tcolors: (..., 3) in [0, 1] (carried as packed RGB8).
+        tris: (B, T, 3, 2) screen corners.
+        background: (B, 3, H, W) channels-first.
+    Returns:
+        (B, 3, H, W) image in [0, 1].
+    """
+    b = qz.shape[0]
+    n_pixels = res * res
+    assert n_pixels % PIXELS_PER_TILE == 0
+    qcoef, qpk, tcoef, tpk = _prep_prims(quads, qz, qcolors, tris, tz, tcolors)
+    qp, tp = qpk.shape[1], tpk.shape[1]
 
     bg_flat = background.reshape(b, 3, n_pixels)
     grid = (b, n_pixels // PIXELS_PER_TILE)
@@ -393,4 +445,77 @@ def rasterize_hard_pallas_prims(quads: jnp.ndarray, qz: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 3, n_pixels), jnp.float32),
     )(qcoef, qpk, tcoef, tpk, bg_flat)
+    return out.reshape(b, 3, res, res)
+
+
+def rasterize_hard_pallas_prims_banded(quads: jnp.ndarray, qz: jnp.ndarray,
+                                       qcolors: jnp.ndarray,
+                                       tris: jnp.ndarray, tz: jnp.ndarray,
+                                       tcolors: jnp.ndarray, res: int,
+                                       background: jnp.ndarray,
+                                       qmask: jnp.ndarray,
+                                       tmask: jnp.ndarray) -> jnp.ndarray:
+    """
+    Banded variant of :func:`rasterize_hard_pallas_prims`: the kernel's pixel
+    tile ``j`` covers image rows ``[j*bh, (j+1)*bh)`` with
+    ``bh = PIXELS_PER_TILE // res``, and per-(band, chunk) occupancy masks
+    (:func:`~torchdrivesim_tpu.ops.rasterize.prim_band_chunk_masks` over
+    row-major-sorted prims) let each tile skip whole 8-prim chunks that
+    cannot touch it. One prim set per camera -- no per-band duplication, no
+    compaction gathers -- so per-pixel VPU work scales with the band's
+    ACTUAL prim density while correctness is exact (masks are conservative).
+
+    Args:
+        quads: (B, Q, 4, 2) screen corners in cycle order, row-major sorted
+            (visible first; see ``sort_prims_rowmajor``); qz: (B, Q);
+            qcolors: (B, Q, 3); tris: (B, T, 3, 2); tz / tcolors analogous.
+        qmask / tmask: (B, J, 1, ceil(Q/8)) / (B, J, 1, ceil(T/8)) int32
+            occupancy, J == res*res // PIXELS_PER_TILE bands.
+        background: (B, 3, H, W) channels-first.
+    Returns:
+        (B, 3, H, W) image in [0, 1].
+    """
+    b, q = qz.shape
+    t = tz.shape[1]
+    n_pixels = res * res
+    assert n_pixels % PIXELS_PER_TILE == 0
+    n_bands = n_pixels // PIXELS_PER_TILE
+    assert qmask.shape[:2] == (b, n_bands), qmask.shape
+    assert tmask.shape[:2] == (b, n_bands), tmask.shape
+
+    qcoef, qpk, tcoef, tpk = _prep_prims(quads, qz, qcolors, tris, tz,
+                                         tcolors)
+    qp, tp = qpk.shape[1], tpk.shape[1]
+    # pad masks to the padded chunk counts (padded prims are dead)
+    cq, ct = qp // 8, tp // 8
+    qmask = jnp.pad(qmask, ((0, 0), (0, 0), (0, 0),
+                            (0, cq - qmask.shape[3])))
+    tmask = jnp.pad(tmask, ((0, 0), (0, 0), (0, 0),
+                            (0, ct - tmask.shape[3])))
+
+    bg_flat = background.reshape(b, 3, n_pixels)
+    grid = (b, n_bands)
+    cam_idx = lambda i, j: (i, 0, 0, 0)
+    cam_idx3 = lambda i, j: (i, 0, 0)
+    out = pl.pallas_call(
+        functools.partial(_raster_kernel_prims_masked, res=res, qp=qp, tp=tp,
+                          chunk=8),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, cq), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, ct), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, qp, 3), cam_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qp, 1), cam_idx3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tp, 3), cam_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp, 1), cam_idx3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, PIXELS_PER_TILE), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, PIXELS_PER_TILE), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 3, n_pixels), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, PIXELS_PER_TILE), jnp.int32)],
+    )(qmask, tmask, qcoef, qpk, tcoef, tpk, bg_flat)
     return out.reshape(b, 3, res, res)

@@ -172,6 +172,111 @@ def cull_prims_to_view(corners: jnp.ndarray, z: jnp.ndarray,
     return corners, z, color
 
 
+def _prim_screen_stats(corners: jnp.ndarray, res: int):
+    """Per-prim screen bbox + liveness. corners: (B, N, K, 2) ->
+    (rmin, rmax (B, N), alive (B, N)): alive == non-degenerate AND its bbox
+    intersects the image."""
+    rmin = jnp.min(corners[..., 0], axis=-1)
+    rmax = jnp.max(corners[..., 0], axis=-1)
+    cmin = jnp.min(corners[..., 1], axis=-1)
+    cmax = jnp.max(corners[..., 1], axis=-1)
+    e1 = corners[:, :, 1] - corners[:, :, 0]
+    e2 = corners[:, :, -1] - corners[:, :, 0]
+    area = jnp.abs(e1[..., 0] * e2[..., 1] - e1[..., 1] * e2[..., 0])
+    alive = ((area > DEGENERATE_AREA_EPS)
+             & (cmax >= 0.0) & (cmin < float(res))
+             & (rmax >= 0.0) & (rmin < float(res)))
+    return rmin, rmax, alive
+
+
+def _sort_prim_arrays(key: jnp.ndarray, corners: jnp.ndarray, z: jnp.ndarray,
+                      color: jnp.ndarray):
+    """Reorder prims ascending by ``key`` along axis 1 with a multi-operand
+    ``lax.sort`` -- a vectorized sorting network, NO gathers (XLA lowers
+    ``take_along_axis`` to ~125M elem/s scalar loops on TPU; a per-band
+    compaction built on it measured +2 ms/step at batch 256)."""
+    b, n, k, _ = corners.shape
+    comps = ([corners[:, :, i, j] for i in range(k) for j in range(2)]
+             + [z] + [color[..., i] for i in range(3)])
+    out = jax.lax.sort([key] + comps, dimension=1, num_keys=1)
+    cs = out[1:1 + 2 * k]
+    corners = jnp.stack([jnp.stack(cs[2 * i:2 * i + 2], axis=-1)
+                         for i in range(k)], axis=2)
+    z = out[1 + 2 * k]
+    color = jnp.stack(out[2 + 2 * k:], axis=-1)
+    return corners, z, color
+
+
+def sort_prims_rowmajor(corners: jnp.ndarray, z: jnp.ndarray,
+                        color: jnp.ndarray, res: int, cap: int):
+    """
+    Order primitives for the banded Pallas kernel: visible prims FIRST,
+    ascending by top screen row, then cap the count with a static slice.
+    Row-major order makes visible prims spatially coherent in index space,
+    so the kernel's per-band 8-prim chunk masks skip nearly all dead work.
+
+    If more than ``cap`` prims are visible, the ones nearest the view center
+    are kept (a preliminary distance sort, matching
+    :func:`cull_prims_to_view` semantics).
+
+    Args:
+        corners: (B, N, K, 2) screen-space corners; z: (B, N); color (B, N, 3).
+    Returns:
+        (corners (B, <=cap, K, 2), z, color), invisible prims zeroed.
+    """
+    b, n = z.shape
+    if n == 0:
+        return corners, z, color
+    big = jnp.float32(3e38)
+    if n > cap:
+        center = jnp.mean(corners, axis=2)
+        d2 = jnp.sum((center - res / 2.0) ** 2, axis=-1)
+        _, _, alive = _prim_screen_stats(corners, res)
+        corners, z, color = _sort_prim_arrays(
+            jnp.where(alive, d2, big), corners, z, color)
+        corners, z, color = corners[:, :cap], z[:, :cap], color[:, :cap]
+    rmin, _, alive = _prim_screen_stats(corners, res)
+    corners, z, color = _sort_prim_arrays(
+        jnp.where(alive, rmin, big), corners, z, color)
+    # zero dropped/invisible prims so they are degenerate for the kernel
+    keep_n = corners.shape[1]
+    rank = jnp.arange(keep_n)[None, :]
+    live = rank < jnp.sum(alive, axis=1, keepdims=True)
+    corners = jnp.where(live[..., None, None], corners, 0.0)
+    return corners, z, color
+
+
+def prim_band_chunk_masks(corners: jnp.ndarray, res: int, n_bands: int,
+                          chunk: int = 8) -> jnp.ndarray:
+    """
+    Per-(band, chunk) occupancy for the banded kernel: entry ``[b, j, 0, c]``
+    is 1 iff any prim in chunk ``c`` (prims ``c*chunk..(c+1)*chunk-1``) is
+    alive and its row interval intersects band ``j`` (image rows
+    ``[j*res/n_bands, (j+1)*res/n_bands)``).
+
+    Args:
+        corners: (B, N, K, 2) screen-space corners (row-major sorted for the
+            masks to be effective; see :func:`sort_prims_rowmajor`).
+    Returns:
+        (B, n_bands, 1, n_chunks) int32, n_chunks = ceil(N / chunk).
+    """
+    b, n = corners.shape[:2]
+    n_chunks = max(1, -(-n // chunk))
+    if n == 0:
+        return jnp.zeros((b, n_bands, 1, n_chunks), jnp.int32)
+    band_h = res / n_bands
+    rmin, rmax, alive = _prim_screen_stats(corners, res)
+    lo = jnp.arange(n_bands, dtype=jnp.float32) * band_h    # (J,)
+    hit = (alive[:, None, :]
+           & (rmax[:, None, :] >= lo[None, :, None])
+           & (rmin[:, None, :] < (lo + band_h)[None, :, None]))  # (B, J, N)
+    pad = n_chunks * chunk - n
+    if pad:
+        hit = jnp.pad(hit, ((0, 0), (0, 0), (0, pad)))
+    mask = jnp.any(hit.reshape(b, n_bands, n_chunks, chunk), axis=-1)
+    return mask.astype(jnp.int32)[:, :, None, :]
+
+
 def rasterize_hard(verts: jnp.ndarray, faces: jnp.ndarray, attrs: jnp.ndarray,
                    res: int, background: jnp.ndarray,
                    face_chunk: int = 16, cull_to: int = 0) -> jnp.ndarray:

@@ -62,6 +62,12 @@ class JaxRendererConfig(RendererConfig):
         # MXU rasterizer (ops/pallas_rasterize.py) and, at res=128 with a
         # baked texture, the two-pass affine background warp
         # (ops/pallas_warp.py) that replaces XLA's scalar-loop gathers
+    band_budget: int = 56             #: typed-prim path: per-camera prim cap
+        # PER TYPE (quads / triangles). Prims sort row-major (visible first),
+        # each 32-row pixel band skips 8-prim chunks that cannot touch it,
+        # so per-pixel work tracks the band's ACTUAL density and a generous
+        # cap costs nothing in sparse frames. Over-cap frames keep the
+        # view-nearest prims. 56 is the packed-rank maximum (2 x 56 < 127).
 
 
 class Cameras:

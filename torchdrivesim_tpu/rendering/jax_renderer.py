@@ -251,18 +251,31 @@ class JaxRenderer(BirdviewRenderer):
                               left_handed=lh).reshape(b, max(t, 1), 3, 2)
         if t == 0:
             st = st[:, :0]
-        # cap each prim type at half the face budget (the cull keeps the
-        # view-nearest prims, so only off-screen content is dropped) -- and
-        # within the packed 7-bit rank space (127) across both types
-        keep = min(max(8, (self.cfg.cull_max_faces or 64) // 2), 56)
-        sq, qz, qcolors = cull_prims_to_view(sq, qz, qcolors, size, keep)
-        st, tz, tcolors = cull_prims_to_view(st, tz, tcolors, size, keep)
         if use_pallas:
             from torchdrivesim_tpu.ops.pallas_rasterize import (
-                rasterize_hard_pallas_prims)
-            image = rasterize_hard_pallas_prims(sq, qz, qcolors, st, tz,
-                                                tcolors, size, background)
+                PIXELS_PER_TILE, rasterize_hard_pallas_prims_banded)
+            from torchdrivesim_tpu.ops.rasterize import (
+                prim_band_chunk_masks, sort_prims_rowmajor)
+            # band masking: prims sort row-major (visible first, gather-free
+            # lax.sort) and each 32-row kernel tile skips whole 8-prim chunks
+            # that cannot touch it -- per-pixel work tracks LOCAL density
+            # (typically a handful of prims) instead of the camera budget
+            n_bands = (size * size) // PIXELS_PER_TILE
+            cap = min(max(8, self.cfg.band_budget), 56)
+            sq, qz, qcolors = sort_prims_rowmajor(sq, qz, qcolors, size, cap)
+            st, tz, tcolors = sort_prims_rowmajor(st, tz, tcolors, size, cap)
+            qmask = prim_band_chunk_masks(sq, size, n_bands)
+            tmask = prim_band_chunk_masks(st, size, n_bands)
+            image = rasterize_hard_pallas_prims_banded(
+                sq, qz, qcolors, st, tz, tcolors, size, background,
+                qmask, tmask)
         else:
+            # cap each prim type at half the face budget (the cull keeps the
+            # view-nearest prims, so only off-screen content is dropped) --
+            # and within the packed 7-bit rank space across both types
+            keep = min(max(8, (self.cfg.cull_max_faces or 64) // 2), 56)
+            sq, qz, qcolors = cull_prims_to_view(sq, qz, qcolors, size, keep)
+            st, tz, tcolors = cull_prims_to_view(st, tz, tcolors, size, keep)
             # XLA fallback: expand quads to their two triangles
             from torchdrivesim_tpu.ops.rasterize import rasterize_hard_faces
             t1 = sq[:, :, jnp.asarray([0, 1, 2])]
