@@ -228,3 +228,158 @@ def test_sample_background_gradient_wrt_camera():
     eps = 0.05
     fd = (f(jnp.asarray(12.0 + eps)) - f(jnp.asarray(12.0 - eps))) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Gradient certification through rendering (BASELINE config 4 contract):
+# full-vector central-difference gradchecks, then jax.grad through a 40-step
+# dynamics + soft-render rollout vs a directional finite difference.
+# Divergence from the reference's pytorch3d soft blend is documented in
+# docs/design.md (exact cross-framework match is infeasible; numeric
+# self-consistency here is the certified property).
+# ---------------------------------------------------------------------------
+
+def _gradcheck_scene():
+    rng = np.random.RandomState(7)
+    res = 24
+    nf = 3
+    verts = np.zeros((1, nf * 3, 3), np.float32)
+    # well-conditioned triangles at distinct z levels, fully on screen
+    verts[0, :, :2] = np.asarray([
+        [5, 5], [17, 6], [9, 16],
+        [8, 10], [20, 9], [14, 20],
+        [4, 14], [13, 12], [7, 22],
+    ])
+    verts[0, :, 2] = np.repeat([5.0, 7.0, 9.0], 3)
+    faces = jnp.asarray(np.arange(9, dtype=np.int32).reshape(1, nf, 3))
+    attrs = jnp.asarray(rng.uniform(0.2, 1.0, (1, 9, 3)), jnp.float32)
+    bg = jnp.asarray(rng.uniform(0, 0.3, (1, res, res, 3)), jnp.float32)
+    # fixed random pixel weights exercise every pixel's gradient path
+    w = jnp.asarray(rng.uniform(0.5, 1.5, (1, res, res, 3)), jnp.float32)
+    return res, jnp.asarray(verts), faces, attrs, bg, w
+
+
+def _central_diff(f, x, eps):
+    x = np.asarray(x, np.float64)
+    g = np.zeros_like(x)
+    it = np.nditer(x, flags=['multi_index'])
+    while not it.finished:
+        i = it.multi_index
+        xp = x.copy(); xp[i] += eps
+        xm = x.copy(); xm[i] -= eps
+        g[i] = (f(jnp.asarray(xp, jnp.float32))
+                - f(jnp.asarray(xm, jnp.float32))) / (2 * eps)
+        it.iternext()
+    return g
+
+
+@pytest.mark.parametrize('mode', ['softmax', 'painter'])
+def test_soft_raster_gradcheck_all_vertex_coords(mode):
+    """jax.grad w.r.t. EVERY vertex x/y coordinate vs central differences
+    (sigma=0.5, the config the IL example trains with)."""
+    from torchdrivesim_tpu.ops.rasterize import rasterize_soft, rasterize_softmax
+    res, verts, faces, attrs, bg, w = _gradcheck_scene()
+    raster = rasterize_softmax if mode == 'softmax' else rasterize_soft
+
+    def loss(xy):
+        v = jnp.concatenate([xy, verts[..., 2:3]], axis=-1)
+        return jnp.sum(w * raster(v, faces, attrs, res, bg, sigma=0.5))
+
+    xy0 = verts[..., :2]
+    g = np.asarray(jax.grad(loss)(xy0), np.float64)
+    fd = _central_diff(loss, xy0, eps=0.05)
+    # certified bound: max abs error <= 2% of the gradient scale
+    scale = np.abs(fd).max()
+    err = np.abs(g - fd).max()
+    assert scale > 0.1  # the check is not vacuous
+    assert err <= 0.02 * scale, f"gradcheck failed: err {err:.4f} scale {scale:.4f}"
+
+
+def test_softmax_gradcheck_camera_pose():
+    """Gradients w.r.t. camera position AND heading through the full
+    world -> screen -> soft-raster chain."""
+    from torchdrivesim_tpu.ops.rasterize import camera_rows_cols, rasterize_softmax
+    res, verts, faces, attrs, bg, w = _gradcheck_scene()
+    # reinterpret the vertex screen coords as world meters
+    world_xy = verts[..., :2] * 0.5
+
+    def loss(pose):
+        cam_xy = pose[:2][None]
+        cam_sc = jnp.stack([jnp.sin(pose[2]), jnp.cos(pose[2])])[None]
+        rc = camera_rows_cols(world_xy, cam_xy, cam_sc, 2.0 / 16, res)
+        v = jnp.concatenate([rc, verts[..., 2:3]], axis=-1)
+        return jnp.sum(w * rasterize_softmax(v, faces, attrs, res, bg,
+                                             sigma=0.5))
+
+    pose0 = jnp.asarray([5.0, 6.0, 0.3])
+    g = np.asarray(jax.grad(loss)(pose0), np.float64)
+    fd = _central_diff(loss, pose0, eps=2e-3)
+    scale = np.abs(fd).max()
+    assert scale > 0.1
+    np.testing.assert_allclose(g, fd, rtol=0.03, atol=0.02 * scale)
+
+
+def test_il_40step_rollout_gradcheck():
+    """The BASELINE config-4 contract: jax.grad of a policy loss through a
+    40-step scan of dynamics + soft BEV render agrees with a directional
+    finite difference of the same compiled loss."""
+    from tests.test_simulator import _build_simulator
+    from torchdrivesim_tpu.ops.rasterize import camera_rows_cols, rasterize_softmax
+
+    sim = _build_simulator()
+    gen = sim.birdview_mesh_generator
+    res, horizon = 32, 40
+    b = sim.batch_size
+    a = sim.agent_count
+    rng = np.random.RandomState(3)
+    # linear policy on downsampled image features -> (accel, steer)
+    p0 = jnp.asarray(rng.uniform(-0.05, 0.05, (3 * 8 * 8 + 1, 2)), jnp.float32)
+
+    def render_ego(state):
+        all_state = jnp.concatenate([state.agent_state, state.npc_state], -2)
+        present = jnp.concatenate([state.present_mask,
+                                   state.npc_present_mask], -1)
+        corners, z, colors = gen.generate_faces(all_state, present_mask=present)
+        ego = state.agent_state[:, 0]
+        cam_xy = ego[:, :2]
+        cam_sc = jnp.stack([jnp.sin(ego[:, 2]), jnp.cos(ego[:, 2])], -1)
+        f = corners.shape[1]
+        rc = camera_rows_cols(corners.reshape(b, f * 3, 2), cam_xy, cam_sc,
+                              2.0 / 40, res).reshape(b, f, 3, 2)
+        verts = jnp.concatenate(
+            [rc.reshape(b, f * 3, 2),
+             jnp.repeat(z[..., None], 3, axis=1).reshape(b, f * 3, 1)], -1)
+        faces = jnp.broadcast_to(
+            jnp.arange(f * 3, dtype=jnp.int32).reshape(1, f, 3), (b, f, 3))
+        attrs = jnp.repeat(colors[:, :, None], 3, axis=2).reshape(b, f * 3, 3)
+        bg = jnp.zeros((b, res, res, 3))
+        img = rasterize_softmax(verts, faces, attrs, res, bg, sigma=0.5)
+        # 8x8 average-pooled features
+        pooled = img.reshape(b, 8, 4, 8, 4, 3).mean(axis=(2, 4))
+        return pooled.reshape(b, -1)
+
+    def loss_fn(params):
+        def body(s, _):
+            feat = render_ego(s)
+            feat = jnp.concatenate([feat, jnp.ones((b, 1))], -1)
+            act_ego = jnp.tanh(feat @ params)              # (B, 2)
+            action = jnp.zeros((b, a, 2)).at[:, 0].set(act_ego)
+            s = sim.functional_step(s, action)
+            return s, None
+        final, _ = jax.lax.scan(body, sim.state, None, length=horizon)
+        target = jnp.asarray([30.0, 1.0])
+        return jnp.mean((final.agent_state[:, 0, :2] - target) ** 2)
+
+    loss_jit = jax.jit(loss_fn)
+    g = jax.jit(jax.grad(loss_fn))(p0)
+    gn = np.asarray(g, np.float64)
+    assert np.isfinite(gn).all() and np.abs(gn).max() > 0
+
+    u = rng.uniform(-1, 1, p0.shape).astype(np.float32)
+    u /= np.linalg.norm(u)
+    eps = 2e-3
+    lp = float(loss_jit(p0 + eps * jnp.asarray(u)))
+    lm = float(loss_jit(p0 - eps * jnp.asarray(u)))
+    fd = (lp - lm) / (2 * eps)
+    dd = float(np.sum(gn * u))
+    np.testing.assert_allclose(dd, fd, rtol=0.05, atol=1e-4)

@@ -353,13 +353,28 @@ def rasterize_softmax(verts: jnp.ndarray, faces: jnp.ndarray, attrs: jnp.ndarray
                       res: int, background: jnp.ndarray, sigma: float = 0.5,
                       gamma: float = 0.5, face_chunk: int = 16) -> jnp.ndarray:
     """
-    Order-independent differentiable rasterization: pytorch3d-style softmax
-    blending (`rendering/pytorch3d.py:27-44` soft mode) -- per pixel, faces
-    contribute w = sigmoid(edge_dist / sigma) * exp(-z / gamma), normalized
-    together with a background weight. Unlike :func:`rasterize_soft` (a
-    sequential painter's scan over faces), the reduction is a chunked
-    accumulator, so it parallelizes like the hard path -- use this for
-    training through rendering at scale.
+    Order-independent differentiable rasterization in the spirit of
+    pytorch3d's softmax blend (`rendering/pytorch3d.py:27-44` soft mode),
+    with one deliberate divergence (documented in docs/design.md): COVERAGE
+    and Z-ARBITRATION are decoupled. Per pixel,
+
+    * ``alpha_f = prod_edges sigmoid(d/sigma) * ramp(window)`` is the face's
+      soft coverage in [0, 1];
+    * overlapping faces resolve by softmax over ``alpha_f * exp(-z_f/gamma)``
+      (lower z wins as gamma -> 0), giving ``c_faces``;
+    * total coverage ``A = 1 - prod_f (1 - alpha_f)`` (order-independent)
+      lerps against the background: ``A * c_faces + (1 - A) * bg``.
+
+    pytorch3d instead normalizes the z-amplified weights together with a
+    background delta, which makes the amplified sigmoid tail opaque against
+    the background -- the image then JUMPS by a full face color at the blur
+    window's support edge (a known gradient pathology). The decoupled form
+    is continuous everywhere at the sigma scale and passes full-vector
+    central-difference gradchecks (tests/test_rasterize.py).
+
+    Unlike :func:`rasterize_soft` (a sequential painter's scan over faces),
+    the reduction is a chunked accumulator, so it parallelizes like the
+    hard path -- use this for training through rendering at scale.
 
     Args:
         sigma: edge softness in pixels; gamma: z-priority temperature
@@ -371,8 +386,10 @@ def rasterize_softmax(verts: jnp.ndarray, faces: jnp.ndarray, attrs: jnp.ndarray
     if faces.shape[1] == 0:
         return background
     corners, z, color = _face_arrays(verts, faces, attrs)
-    # weights relative to a virtual background plane at z=20 keep everything
-    # in a float32-friendly range (z levels are 2..15)
+    # z weights relative to a virtual plane at z=20 keep everything in a
+    # float32-friendly range (z levels are 2..15); they only ever arbitrate
+    # BETWEEN faces (never against the background), so the huge ratios are
+    # harmless
     z_bg = 20.0
     zw = jnp.exp((z_bg - z) / gamma)
     pad = (-corners.shape[1]) % face_chunk
@@ -393,27 +410,34 @@ def rasterize_softmax(verts: jnp.ndarray, faces: jnp.ndarray, attrs: jnp.ndarray
     nxt = [1, 2, 0]
 
     def body(carry, chunk):
-        num, den = carry
+        num, den, transparent = carry
         cc, czw, ccol = chunk
         e, area = _edge_functions(cc, px, py)             # B,Fc,3,H,W
         sign = jnp.sign(area)[..., None, None, None]
         elen = jnp.linalg.norm(cc[..., nxt, :] - cc, axis=-1)  # B,Fc,3
         d = e * sign / (elen[..., None, None] + 1e-8)
-        w = jnp.prod(jax.nn.sigmoid(d / sigma), axis=2)   # B,Fc,H,W
-        # hard support cutoff: beyond the blur window the sigmoid tail,
-        # multiplied by the z-priority weight, would otherwise leak colors
-        # across the whole image
-        inside_window = jnp.all(d > -4.0 * sigma, axis=2)
+        alpha = jnp.prod(jax.nn.sigmoid(d / sigma), axis=2)  # B,Fc,H,W
+        # C0 support window over [-4 sigma, -3 sigma]: coverage is O(1), so
+        # the ramp's transition is genuinely gradual (no z amplification)
+        dmin = jnp.min(d, axis=2)
+        window = jnp.clip(dmin / sigma + 4.0, 0.0, 1.0)
         ok = (jnp.abs(area) > DEGENERATE_AREA_EPS)[..., None, None]
-        w = jnp.where(ok & inside_window, w, 0.0) * czw[..., None, None]
+        alpha = jnp.where(ok, alpha * window, 0.0)
+        w = alpha * czw[..., None, None]
         num = num + jnp.einsum('bfhw,bfc->bhwc', w, ccol)
         den = den + jnp.sum(w, axis=1)
-        return (num, den), None
+        transparent = transparent * jnp.prod(1.0 - alpha, axis=1)
+        return (num, den, transparent), None
 
-    # the background is the reference plane: weight exactly 1
-    init = (background, jnp.ones((b, res, res), verts.dtype))
-    (num, den), _ = jax.lax.scan(body, init, (corners, zw, color))
-    return num / den[..., None]
+    init = (jnp.zeros_like(background),
+            jnp.zeros((b, res, res), verts.dtype),
+            jnp.ones((b, res, res), verts.dtype))
+    (num, den, transparent), _ = jax.lax.scan(body, init, (corners, zw, color))
+    # maximum (not +eps): with den == 0 the branch is a constant, so the
+    # backward pass never forms num/den^2 with an underflowing denominator
+    c_faces = num / jnp.maximum(den[..., None], 1e-8)
+    coverage = (1.0 - transparent)[..., None]
+    return coverage * c_faces + (1.0 - coverage) * background
 
 
 def rasterize_soft(verts: jnp.ndarray, faces: jnp.ndarray, attrs: jnp.ndarray,
