@@ -72,18 +72,16 @@ def main():
     sim.renderer.background_texture = load_or_bake_texture(
         cfg_map, sim.renderer.color_map, sim.renderer.rendering_levels)
 
-    schedule = None
     controller = cfg_map.traffic_light_controller
     if controller is not None and 'traffic_light' in controls:
-        schedule = BakedLightSchedule(controller,
-                                      controls['traffic_light'].actor_ids)
+        # FSM-driven lights: the schedule plugs into the simulator's own
+        # control advance (replay -> schedule -> hold); step()/render()/
+        # violations all see it with no per-step wiring
+        sim.set_light_schedule(BakedLightSchedule(
+            controller, controls['traffic_light'].actor_ids))
 
     frames = []
     for t in range(args.steps):
-        if schedule is not None:
-            lights = schedule.states_at(t * 0.1)[None]
-            sim.state = sim.state.replace(traffic_control_state={
-                **sim.state.traffic_control_state, 'traffic_light': lights})
         img = sim.render_egocentric()
         frames.append(np.asarray(
             jnp.transpose(img[0, 0], (1, 2, 0))).astype(np.uint8))

@@ -92,20 +92,18 @@ class BenchmarkScenario:
         gen = sim.birdview_mesh_generator
         renderer = sim.renderer
         res = self.res
-        schedule = self.schedule
-        dt = self.dt
         b = sim.batch_size
         n_all = sim.agent_count + sim.npc_count
         sizes = sim.get_all_agent_size()
         light_control = (sim.traffic_controls or {}).get('traffic_light')
 
         def step(state, action):
+            # the FSM schedule (if any) is integrated into functional_step's
+            # control advance (replay -> schedule -> hold), so the state
+            # PyTree already carries FSM-driven lights
             state = sim.functional_step(state, action)
             light_state = None
-            if schedule is not None:
-                lights = schedule.states_at(state.time.astype(jnp.float32) * dt)
-                light_state = jnp.broadcast_to(lights[None], (b, lights.shape[0]))
-            elif light_control is not None:
+            if light_control is not None:
                 light_state = state.traffic_control_state['traffic_light']
 
             outputs = {}
@@ -235,6 +233,7 @@ def build_benchmark_scenario(map_name: str = 'carla_Town02',
         light_ids = getattr(controls['traffic_light'], 'actor_ids', None)
         if light_ids:
             schedule = BakedLightSchedule(controller, light_ids)
+            sim.set_light_schedule(schedule)
 
     return BenchmarkScenario(sim=sim, schedule=schedule, res=res, fov=fov, dt=dt)
 

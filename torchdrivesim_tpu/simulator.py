@@ -51,7 +51,7 @@ from torchdrivesim_tpu.rendering import (
     BirdviewRenderer, RendererConfig, renderer_from_config,
 )
 from torchdrivesim_tpu.scene_mesh import BirdviewRGBMeshGenerator
-from torchdrivesim_tpu.traffic_controls import BaseTrafficControl, replay_or_hold_state
+from torchdrivesim_tpu.traffic_controls import BaseTrafficControl
 from torchdrivesim_tpu.utils import Resolution, assert_equal, is_inside_polygon, relative
 
 logger = logging.getLogger(__name__)
@@ -554,11 +554,13 @@ class Simulator:
                 model_ids=model_ids,
                 single_model=None if model_ids is not None else km.model_id)
         with jax.named_scope('traffic_controls'):
+            # one code path with the facade's step(): the control's pure
+            # advance() (replay -> compute_state (e.g. baked FSM schedule)
+            # -> hold); subclass overrides work identically under jit
             tc_state = {}
             for kind, control in (self.traffic_controls or {}).items():
-                tc_state[kind] = replay_or_hold_state(
-                    state.traffic_control_state[kind], control.replay_states,
-                    time)
+                tc_state[kind] = control.advance(
+                    state.traffic_control_state[kind], time)
         wp_state = state.waypoint_state
         if self.waypoint_goals is not None and wp_state is not None:
             with jax.named_scope('waypoint_goals'):
@@ -799,6 +801,20 @@ class Simulator:
 
     def get_traffic_controls(self) -> Optional[Dict[str, BaseTrafficControl]]:
         return self.traffic_controls
+
+    def set_light_schedule(self, schedule) -> None:
+        """
+        Drive the 'traffic_light' control from a baked FSM schedule
+        (:class:`~torchdrivesim_tpu.traffic_lights.BakedLightSchedule`):
+        ``functional_step`` then advances light states from the schedule
+        (replay -> schedule -> hold), and render / red-light violations see
+        FSM-driven lights with no per-consumer wiring. ``dt`` is taken from
+        the kinematic model. Mirrors the reference's per-step controller
+        tick (`behavior/iai.py:130-136`) as a pure time lookup.
+        """
+        control = (self.traffic_controls or {}).get('traffic_light')
+        assert control is not None, "no 'traffic_light' control to schedule"
+        control.set_schedule(schedule, dt=float(self.kinematic_model.dt))
 
     def get_traffic_light_state(self) -> Optional[jnp.ndarray]:
         return self.state.traffic_control_state.get('traffic_light')

@@ -166,14 +166,30 @@ class BaseTrafficControl:
     def set_state(self, state: jnp.ndarray) -> None:
         self.state = state
 
-    def compute_state(self, time: int) -> jnp.ndarray:
-        """Default: hold the current state (ref: `traffic_controls.py:121`)."""
-        return self.state
+    def compute_state(self, state: jnp.ndarray, time) -> jnp.ndarray:
+        """
+        Subclass hook for self-driven state (ref: `traffic_controls.py:121`,
+        made PURE: the previous state is passed in rather than read from
+        ``self.state``, so one override works identically in the mutating
+        facade AND inside ``Simulator.functional_step`` under jit).
+        Default: hold.
+        """
+        return state
+
+    def advance(self, state: jnp.ndarray, time) -> jnp.ndarray:
+        """
+        THE control state advance (pure, jittable): recorded replay takes
+        precedence while within the replay horizon, otherwise the subclass's
+        :meth:`compute_state` (ref: `traffic_controls.py:127-136`). Both
+        ``step`` and ``Simulator.functional_step`` route through here --
+        a single code path, no facade/jit divergence.
+        """
+        return replay_or_hold_state(self.compute_state(state, time),
+                                    self.replay_states, time)
 
     def step(self, time: int) -> None:
         """Replay-first state advance (ref: `traffic_controls.py:127-136`)."""
-        self.state = replay_or_hold_state(self.compute_state(time),
-                                          self.replay_states, time)
+        self.state = self.advance(self.state, time)
 
     def compute_violation(self, agent_state: jnp.ndarray) -> jnp.ndarray:
         """Base controls report no violations (ref: `traffic_controls.py:138`)."""
@@ -184,12 +200,56 @@ class TrafficLightControl(BaseTrafficControl):
     """
     Traffic lights; violation = red light and substantial bounding-box
     overlap with the stopline (ref: `traffic_controls.py:152-178`).
+
+    Optionally FSM-driven: :meth:`set_schedule` attaches a
+    :class:`~torchdrivesim_tpu.traffic_lights.BakedLightSchedule`, after
+    which :meth:`compute_state` returns the schedule's light states at
+    simulation time -- inside ``functional_step``, ``render`` and the
+    violation metrics alike, with zero per-consumer wiring. Advance order is
+    replay -> schedule -> hold (replay horizons override the FSM, matching
+    the reference's log-replay-first semantics).
     """
     violation_rear_factor = 0.1
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.schedule = None
+        self.dt = None
 
     @classmethod
     def _default_allowed_states(cls) -> List[str]:
         return ['red', 'yellow', 'green']
+
+    def set_schedule(self, schedule, dt: float) -> None:
+        """
+        Drive these lights from a baked FSM schedule (ticked like the
+        reference's per-step controller tick, `behavior/iai.py:130-136`,
+        but as a pure time lookup usable under jit).
+
+        Args:
+            schedule: ``BakedLightSchedule`` whose light order matches this
+                control's tensor order.
+            dt: simulation step length in seconds (time index -> seconds).
+        """
+        if schedule is not None:
+            n = self.pos.shape[1]
+            assert len(schedule.light_ids) == n, \
+                f"schedule drives {len(schedule.light_ids)} lights, control has {n}"
+        self.schedule = schedule
+        self.dt = dt
+
+    def compute_state(self, state: jnp.ndarray, time) -> jnp.ndarray:
+        if self.schedule is None:
+            return state
+        lights = self.schedule.states_at(
+            jnp.asarray(time, jnp.float32) * self.dt)
+        return jnp.broadcast_to(lights[None], state.shape).astype(state.dtype)
+
+    def copy(self) -> "TrafficLightControl":
+        other = super().copy()
+        other.schedule = self.schedule   # host-static, shared
+        other.dt = self.dt
+        return other
 
     def compute_violation(self, agent_state: jnp.ndarray) -> jnp.ndarray:
         return red_light_violations(
