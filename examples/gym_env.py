@@ -102,27 +102,149 @@ class GymEnv:
         assert self.sim is not None, "call reset() first"
         full_action = jnp.zeros((1, self.cfg.agent_count, 2))
         full_action = full_action.at[0, 0].set(jnp.asarray(action))
+        self.prev_action = jnp.asarray(action)
         self.sim.step(full_action)
         self.t += 1
-        offroad = float(self.sim.compute_offroad()[0, 0])
-        collision = float(self.sim.compute_collision()[0, 0])
-        wrong_way = float(self.sim.compute_wrong_way()[0, 0])
-        speed = float(self.sim.get_state()[0, 0, 3])
-        reward = (self.cfg.speed_reward * speed
-                  - self.cfg.offroad_penalty * offroad
-                  - self.cfg.collision_penalty * collision
-                  - self.cfg.wrong_way_penalty * wrong_way)
-        terminated = collision > 0
+        info = {'offroad': float(self.sim.compute_offroad()[0, 0]),
+                'collision': float(self.sim.compute_collision()[0, 0]),
+                'wrong_way': float(self.sim.compute_wrong_way()[0, 0]),
+                'speed': float(self.sim.get_state()[0, 0, 3])}
+        reward = self.get_reward(info)
+        terminated = info['collision'] > 0
         truncated = self.t >= self.cfg.max_steps
-        info = {'offroad': offroad, 'collision': collision,
-                'wrong_way': wrong_way, 'speed': speed}
         return self._observe(), reward, terminated, truncated, info
+
+    def get_reward(self, info) -> float:
+        """Reward hook (ref: `examples/gym_env.py:108-118`): forward speed
+        minus infraction penalties."""
+        return (self.cfg.speed_reward * info['speed']
+                - self.cfg.offroad_penalty * info['offroad']
+                - self.cfg.collision_penalty * info['collision']
+                - self.cfg.wrong_way_penalty * info['wrong_way'])
 
     def render(self):
         return self._observe()
 
     def close(self):
         self.sim = None
+
+
+class IAIGymEnv(GymEnv):
+    """
+    Driving environment with background traffic animated by the Inverted AI
+    API (counterpart of the reference `examples/gym_env.py:153-219`): the
+    ego is a kinematic-bicycle agent; every other vehicle is an NPC driven
+    by the remote DRIVE endpoint between jitted segments
+    (:class:`~torchdrivesim_tpu.behavior.iai.IAINPCController`). Resets
+    reuse the same initial conditions with fresh NPC behaviors.
+    """
+    def __init__(self, cfg: GymEnvConfig = GymEnvConfig()):
+        self.cfg = cfg
+        self._sim_template = self._build_iai_sim()
+        self.sim: Optional[Simulator] = None
+        self.t = 0
+        self.action_size = 2
+        self.prev_action = jnp.zeros(2)
+
+    def _build_iai_sim(self) -> Simulator:
+        from torchdrivesim_tpu.behavior.iai import (
+            IAINPCController, iai_initialize)
+        from torchdrivesim_tpu.benchmark import load_or_bake_texture
+        from torchdrivesim_tpu.map import find_map_config
+        from torchdrivesim_tpu.rendering import JaxRendererConfig
+
+        cfg_map = find_map_config(self.cfg.map_name)
+        if cfg_map is None:
+            raise RuntimeError(f"Map {self.cfg.map_name} not found")
+        location = cfg_map.iai_location_name
+        attrs, states, recurrent = iai_initialize(
+            location=location, agent_count=self.cfg.agent_count,
+            center=tuple(np.asarray(cfg_map.center)))
+        # agent 0 is the ego; the rest are IAI-driven NPCs
+        ego_attrs, npc_attrs = attrs[:, :1], attrs[:, 1:]
+        ego_states, npc_states = states[:, :1], states[:, 1:]
+
+        kin = K.KinematicBicycle(
+            dt=0.1, left_handed=bool(cfg_map.left_handed_coordinates))
+        kin.set_params(lr=ego_attrs[..., 2])
+        kin.set_state(ego_states)
+        npc = IAINPCController(
+            npc_size=npc_attrs[..., :2], npc_state=npc_states,
+            location=location, recurrent_states=recurrent,
+            npc_present_mask=jnp.ones_like(npc_states[..., 0], dtype=bool),
+            agent_type_names=['vehicle'])
+        cfg = TorchDriveConfig(
+            left_handed_coordinates=bool(cfg_map.left_handed_coordinates))
+        cfg.renderer = JaxRendererConfig(
+            left_handed_coordinates=bool(cfg_map.left_handed_coordinates))
+        sim = Simulator(
+            road_mesh=cfg_map.road_mesh, kinematic_model=kin,
+            agent_size=ego_attrs[..., :2],
+            initial_present_mask=jnp.ones((1, 1), dtype=bool),
+            cfg=cfg, npc_controller=npc, map_grids=cfg_map.grids())
+        sim.renderer.res = Resolution(self.cfg.res, self.cfg.res)
+        sim.renderer.scale = 2.0 / self.cfg.fov
+        if self.cfg.use_background_texture:
+            sim.renderer.background_texture = load_or_bake_texture(
+                cfg_map, sim.renderer.color_map, sim.renderer.rendering_levels)
+        return sim
+
+    def step(self, action):
+        # the ego is the single exposed agent
+        assert self.sim is not None, "call reset() first"
+        self.prev_action = jnp.asarray(action)
+        self.sim.step(jnp.asarray(action).reshape(1, 1, 2))
+        self.t += 1
+        info = {'offroad': float(self.sim.compute_offroad()[0, 0]),
+                'collision': float(self.sim.compute_collision()[0, 0]),
+                'wrong_way': float(self.sim.compute_wrong_way()[0, 0]),
+                'speed': float(self.sim.get_state()[0, 0, 3])}
+        reward = self.get_reward(info)
+        terminated = info['collision'] > 0
+        truncated = self.t >= self.cfg.max_steps
+        return self._observe(), reward, terminated, truncated, info
+
+    def get_reward(self, info) -> float:
+        """Reference IAIGymEnv reward (`examples/gym_env.py:209-218`):
+        speed bonus minus offroad/collision/action-economy penalties,
+        clamped to [-10, 10]."""
+        r = (info['speed'] - info['offroad'] - info['collision']
+             - float(jnp.linalg.norm(self.prev_action)))
+        return float(np.clip(r, -10.0, 10.0))
+
+
+class SingleAgentWrapper:
+    """
+    Removes the batch and agent dimensions from the environment interface
+    (ref: `examples/gym_env.py:221-264`). Only safe when both are
+    singletons. Duck-type compatible with gymnasium's Wrapper.
+    """
+    def __init__(self, env):
+        self.env = env
+
+    @staticmethod
+    def _squeeze(x):
+        if isinstance(x, dict):
+            return {k: SingleAgentWrapper._squeeze(v) for k, v in x.items()}
+        if isinstance(x, (np.ndarray, jnp.ndarray)) and x.ndim >= 2:
+            return x  # image observations keep their CxHxW shape
+        return x
+
+    def reset(self, seed: Optional[int] = None):
+        obs, info = self.env.reset(seed)
+        return self._squeeze(obs), self._squeeze(info)
+
+    def step(self, action):
+        obs, reward, terminated, truncated, info = self.env.step(
+            np.asarray(action).reshape(-1)[:2])
+        return (self._squeeze(obs), float(reward), bool(terminated),
+                bool(truncated), self._squeeze(info))
+
+    def render(self, *args, **kwargs):
+        return self.env.render(*args, **kwargs)
+
+    def close(self):
+        self.env.close()
 
 
 class VectorizedGymEnv:
@@ -189,3 +311,47 @@ class VectorizedGymEnv:
             return state, obs, reward, done
 
         return step_fn
+
+
+def main(argv=None):
+    """Run a short episode (ref main loop: `examples/gym_env.py:268-296`),
+    with graceful SIGTERM shutdown (`examples/gym_env.py:270-273`)."""
+    import argparse
+    import contextlib
+    import signal
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--map', default='carla_Town02')
+    parser.add_argument('--agents', type=int, default=6)
+    parser.add_argument('--steps', type=int, default=20)
+    parser.add_argument('--res', type=int, default=64)
+    parser.add_argument('--iai', action='store_true',
+                        help='drive NPCs with the Inverted AI API '
+                             '(needs the invertedai package + IAI_API_KEY)')
+    args = parser.parse_args(argv)
+
+    def sigterm_handler(signum, frame):
+        raise InterruptedError("SIGTERM received")
+
+    signal.signal(signal.SIGTERM, sigterm_handler)
+
+    cfg = GymEnvConfig(map_name=args.map, agent_count=args.agents,
+                       res=args.res)
+    env_cls = IAIGymEnv if args.iai else GymEnv
+    with contextlib.closing(SingleAgentWrapper(env_cls(cfg))) as env:
+        for episode in range(2):
+            env.reset()
+            action = np.asarray([1.0, 0.0], np.float32)  # accelerate straight
+            for i in range(args.steps):
+                obs, reward, terminated, truncated, info = env.step(action)
+                if info['collision']:
+                    print("collision")
+                if info['offroad']:
+                    print("offroad")
+                if terminated or truncated:
+                    break
+            print(f"episode {episode}: {i + 1} steps, last reward {reward:.2f}")
+
+
+if __name__ == '__main__':
+    main()

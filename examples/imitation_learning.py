@@ -69,8 +69,6 @@ def main():
     parser.add_argument('--synthetic', action='store_true', default=True)
     parser.add_argument('--dataset-path', default=None,
                         help='INTERACTION dataset root (uses real replays)')
-    parser.add_argument('--map-mesh', default=None,
-                        help='serialized BirdviewMesh JSON for the location')
     parser.add_argument('--location', default='DR_USA_Intersection_MA')
     parser.add_argument('--batch', type=int, default=8)
     parser.add_argument('--horizon', type=int, default=10)
@@ -82,22 +80,29 @@ def main():
 
     npc_controller = None
     if args.dataset_path:
-        # INTERACTION data: ego = first recorded agent (controlled),
-        # the rest replay their recordings as NPCs (the reference's
-        # ego_only_simulator design, `imitation_learning.py:235`)
-        from torchdrivesim_tpu.behavior.replay import (
-            ReplayController, interaction_replay)
-        from torchdrivesim_tpu.mesh import BirdviewMesh
-        attrs, gt_states, present = interaction_replay(
-            args.location, args.dataset_path, segment_length=args.horizon + 1)
-        b = 1
-        states0 = gt_states[:, :1, 0]                       # 1 x 1 x 4
-        expert_traj = jnp.transpose(gt_states[:, 0, 1:], (1, 0, 2))[:, :, None]
+        # INTERACTION v1.2 cases: ego = each case's full vehicle track
+        # (controlled), the rest replay their recordings as NPCs (the
+        # reference's ego_only_simulator design, `imitation_learning.py:235`);
+        # per-location road meshes collate into one padded batch mesh, so a
+        # batch can mix locations (`imitation_learning.py:168-189`)
+        from torchdrivesim_tpu.behavior.interaction import INTERACTIONDataset
+        from torchdrivesim_tpu.behavior.replay import ReplayController
+        ds = INTERACTIONDataset(
+            args.dataset_path,
+            location_names=[args.location] if args.location else None)
+        ds.subsample(num_segments=args.batch, seed=0)
+        batch = INTERACTIONDataset.collate([ds[i] for i in range(len(ds))])
+        gt = batch['agent_states']                          # B x A x T x 4
+        present = batch['present_mask']
+        b = gt.shape[0]
+        args.horizon = min(args.horizon, gt.shape[2] - 1)
+        states0 = gt[:, :1, 0]                              # B x 1 x 4
+        expert_traj = jnp.transpose(
+            gt[:, 0, 1:args.horizon + 1], (1, 0, 2))[:, :, None]
         npc_controller = ReplayController(
-            npc_size=attrs[:, 1:, :2], npc_states=gt_states[:, 1:],
-            npc_present_masks=present[:, 1:])
-        road = BirdviewMesh.empty(batch_size=1) if args.map_mesh is None \
-            else BirdviewMesh.load(args.map_mesh)
+            npc_size=batch['agent_attributes'][:, 1:, :2],
+            npc_states=gt[:, 1:], npc_present_masks=present[:, 1:])
+        road = batch['road_mesh']
     else:
         road, states0, expert_traj = build_synthetic_batch(args.batch,
                                                            args.horizon)

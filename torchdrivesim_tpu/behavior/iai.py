@@ -100,6 +100,20 @@ class IAINPCController(NPCController):
         self.traffic_light_ids = traffic_light_ids or []
         self.dt = dt
 
+    def copy(self) -> "IAINPCController":
+        # NPCController.copy() constructs self.__class__ positionally with
+        # ITS argument order, which would scramble this subclass's signature
+        # (location would receive the present mask)
+        return self.__class__(
+            self.npc_size, self.initial_npc_state, self.location,
+            recurrent_states=self.recurrent_states,
+            npc_present_mask=self.initial_npc_present_mask,
+            npc_types=self.npc_types,
+            agent_type_names=self.agent_type_names,
+            spawn_controller=self.spawn_controller.copy(),
+            traffic_light_controller=self.traffic_light_controller,
+            traffic_light_ids=list(self.traffic_light_ids), dt=self.dt)
+
     def advance(self, npc_state, npc_present_mask, time, simulator=None):
         """
         Host-side NPC update: pack present NPCs (+ ego agents as
