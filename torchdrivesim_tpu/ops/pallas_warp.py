@@ -102,19 +102,21 @@ def _gather_lanes_256(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 CAMS_PER_PROGRAM = 4
 
 
-def _warp_kernel(fcoef_ref, icoef_ref, tex_ref, out_ref, win_ref, sem, *,
-                 cams):
-    # start ALL window DMAs up front so the copies overlap camera compute
-    dmas = []
-    for c in range(cams):
-        oy = pl.multiple_of(icoef_ref[c, 0, 0], 8)
-        ox = pl.multiple_of(icoef_ref[c, 0, 1], 128)
-        dma = pltpu.make_async_copy(
-            tex_ref.at[pl.ds(oy, WINDOW), pl.ds(ox, WINDOW)],
-            win_ref.at[c], sem.at[c])
-        dma.start()
-        dmas.append(dma)
+def warp_view_packed(fcoef_ref, icoef_ref, c, window_ref, dma=None):
+    """
+    In-kernel two-pass warp of one camera's loaded ``(WINDOW, WINDOW)`` int32
+    texture window into its packed ``(RES, RES)`` RGB8 view (0x00BBGGRR);
+    off-texture pixels get the packed background color. Shared by the
+    standalone warp kernel and the fused warp+rasterize kernel.
 
+    Args:
+        fcoef_ref / icoef_ref: SMEM coefficient refs (see
+            :func:`warp_background_pallas` for the layout), indexed at camera
+            slot ``c``.
+        window_ref: (WINDOW, WINDOW) int32 texture window VMEM ref.
+        dma: optional in-flight copy filling ``window_ref``; waited on only
+            after the index math, so the copy overlaps compute.
+    """
     rows = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 0).astype(jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 1).astype(jnp.float32)
     rows256 = jax.lax.broadcasted_iota(
@@ -122,56 +124,73 @@ def _warp_kernel(fcoef_ref, icoef_ref, tex_ref, out_ref, win_ref, sem, *,
     cols256 = jax.lax.broadcasted_iota(
         jnp.int32, (WINDOW, RES), 1).astype(jnp.float32)
 
+    flip = icoef_ref[c, 0, 2]                    # 1 -> use transposed window
+    bg_packed = icoef_ref[c, 0, 3]
+    f = lambda k: fcoef_ref[c, 0, k]
+    va, vb, vc = f(0), f(1), f(2)
+    ha, hb, hc = f(3), f(4), f(5)
+    ty_a, ty_b, ty_c = f(6), f(7), f(8)
+    tx_a, tx_b, tx_c = f(9), f(10), f(11)
+    h_tex, w_tex = f(12), f(13)
+
+    # pass-1 indices on the (window-row, output-col) grid: h(r', c)
+    h_idx = jnp.floor(ha * rows256 + hb * cols256 + hc + 0.5).astype(jnp.int32)
+    h_idx = jnp.clip(h_idx, 0, WINDOW - 1)
+    # pass-2 indices on the TRANSPOSED output grid (dim0 = c, dim1 = r):
+    # v(r, c) with r = cols iota, c = rows iota
+    v_idx_t = jnp.floor(va * cols + vb * rows + vc + 0.5).astype(jnp.int32)
+    v_idx_t = jnp.clip(v_idx_t, 0, WINDOW - 1)
+    # validity in TEXTURE coordinates, evaluated at output (r, c)
+    ty = ty_a * rows + ty_b * cols + ty_c
+    tx = tx_a * rows + tx_b * cols + tx_c
+    valid = (ty >= 0) & (ty < h_tex) & (tx >= 0) & (tx < w_tex)
+
+    if dma is not None:
+        dma.wait()
+    window = window_ref[:, :]
+    window = jnp.where(flip == 1, window.T, window)
+    tmp = _gather_lanes_256(window, h_idx)       # (256, 128)
+    out_t = _gather_lanes_256(tmp.T, v_idx_t)    # (128, 128), transposed
+    packed = out_t.T
+    return jnp.where(valid, packed, bg_packed)
+
+
+def start_window_dma(icoef_ref, c, tex_ref, win_ref, sem):
+    """Kick off the HBM -> VMEM copy of camera ``c``'s texture window."""
+    oy = pl.multiple_of(icoef_ref[c, 0, 0], 8)
+    ox = pl.multiple_of(icoef_ref[c, 0, 1], 128)
+    dma = pltpu.make_async_copy(
+        tex_ref.at[pl.ds(oy, WINDOW), pl.ds(ox, WINDOW)], win_ref, sem)
+    dma.start()
+    return dma
+
+
+def _warp_kernel(fcoef_ref, icoef_ref, tex_ref, out_ref, win_ref, sem, *,
+                 cams):
+    # start ALL window DMAs up front so the copies overlap camera compute
+    dmas = [start_window_dma(icoef_ref, c, tex_ref, win_ref.at[c], sem.at[c])
+            for c in range(cams)]
+
     for c in range(cams):
-        flip = icoef_ref[c, 0, 2]                # 1 -> use transposed window
-        bg_packed = icoef_ref[c, 0, 3]
-        f = lambda k: fcoef_ref[c, 0, k]
-        va, vb, vc = f(0), f(1), f(2)
-        ha, hb, hc = f(3), f(4), f(5)
-        ty_a, ty_b, ty_c = f(6), f(7), f(8)
-        tx_a, tx_b, tx_c = f(9), f(10), f(11)
-        h_tex, w_tex = f(12), f(13)
-
-        # pass-1 indices on the (window-row, output-col) grid: h(r', c)
-        h_idx = jnp.floor(ha * rows256 + hb * cols256 + hc + 0.5).astype(jnp.int32)
-        h_idx = jnp.clip(h_idx, 0, WINDOW - 1)
-        # pass-2 indices on the TRANSPOSED output grid (dim0 = c, dim1 = r):
-        # v(r, c) with r = cols iota, c = rows iota
-        v_idx_t = jnp.floor(va * cols + vb * rows + vc + 0.5).astype(jnp.int32)
-        v_idx_t = jnp.clip(v_idx_t, 0, WINDOW - 1)
-        # validity in TEXTURE coordinates, evaluated at output (r, c)
-        ty = ty_a * rows + ty_b * cols + ty_c
-        tx = tx_a * rows + tx_b * cols + tx_c
-        valid = (ty >= 0) & (ty < h_tex) & (tx >= 0) & (tx < w_tex)
-
-        dmas[c].wait()
-        window = win_ref[c]                      # (256, 256)
-        window = jnp.where(flip == 1, window.T, window)
-
-        tmp = _gather_lanes_256(window, h_idx)   # (256, 128)
-        out_t = _gather_lanes_256(tmp.T, v_idx_t)  # (128, 128), transposed
-        packed = out_t.T
-        packed = jnp.where(valid, packed, bg_packed)
-
+        packed = warp_view_packed(fcoef_ref, icoef_ref, c, win_ref.at[c],
+                                  dmas[c])
         inv255 = 1.0 / 255.0
         out_ref[c, 0] = (packed & 0xFF).astype(jnp.float32) * inv255
         out_ref[c, 1] = ((packed >> 8) & 0xFF).astype(jnp.float32) * inv255
         out_ref[c, 2] = ((packed >> 16) & 0xFF).astype(jnp.float32) * inv255
 
 
-def warp_background_pallas(mip: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray,
-                           scale: float, background_color: jnp.ndarray,
-                           left_handed: bool = False) -> jnp.ndarray:
+def warp_coefficients(mip: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray,
+                      scale: float, background_color: jnp.ndarray,
+                      left_handed: bool = False):
     """
-    Per-camera background views via the two-pass affine warp kernel.
+    Per-camera affine coefficients for the two-pass warp kernel.
 
-    Args:
-        mip: packed int32 texture level (see :func:`build_mip_pyramid`);
-            ``mip.cell_size`` must be >= fov * 1.45 / 128.
-        cam_xy: (B, 2); cam_sc: (B, 2) (sin, cos); scale: 2 / fov.
-        background_color: (3,) in [0, 1] for off-map pixels.
     Returns:
-        (B, 3, 128, 128) float image in [0, 1].
+        (fcoef (B, 1, 14) float32, icoef (B, 1, 4) int32) SMEM operands:
+        fcoef rows hold the pass-2/pass-1/validity affine coefficients and
+        the true texture bounds; icoef rows hold the 128-aligned window
+        origin, the transpose flag, and the packed background color.
     """
     b = cam_xy.shape[0]
     res = RES
@@ -253,6 +272,27 @@ def warp_background_pallas(mip: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray
         oy, ox, use_flip.astype(jnp.int32),
         jnp.broadcast_to(bg_packed, (b,)),
     ], axis=-1).astype(jnp.int32)[:, None, :]              # (B, 1, 4)
+    return fcoef, icoef
+
+
+def warp_background_pallas(mip: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray,
+                           scale: float, background_color: jnp.ndarray,
+                           left_handed: bool = False) -> jnp.ndarray:
+    """
+    Per-camera background views via the two-pass affine warp kernel.
+
+    Args:
+        mip: packed int32 texture level (see :func:`build_mip_pyramid`);
+            ``mip.cell_size`` must be >= fov * 1.45 / 128.
+        cam_xy: (B, 2); cam_sc: (B, 2) (sin, cos); scale: 2 / fov.
+        background_color: (3,) in [0, 1] for off-map pixels.
+    Returns:
+        (B, 3, 128, 128) float image in [0, 1].
+    """
+    b = cam_xy.shape[0]
+    res = RES
+    fcoef, icoef = warp_coefficients(mip, cam_xy, cam_sc, scale,
+                                     background_color, left_handed)
 
     cams = min(CAMS_PER_PROGRAM, b)
     b_pad = -(-b // cams) * cams

@@ -225,14 +225,11 @@ class JaxRenderer(BirdviewRenderer):
         cam_xy, cam_sc, scale = cameras.xy, cameras.sc, cameras.scale
         bg_color = jnp.asarray(self.get_color('background'), jnp.float32) / 255.0
         use_pallas = self._use_pallas(size)
-        if (use_pallas and size == 128
-                and getattr(self, '_mip_pyramid', None) is not None):
-            from torchdrivesim_tpu.ops.pallas_warp import (
-                select_mip, warp_background_pallas)
-            mip = select_mip(self._mip_pyramid, fov=2.0 / scale)
-            background = warp_background_pallas(
-                mip, cam_xy, cam_sc, scale, bg_color,
-                left_handed=self.cfg.left_handed_coordinates)
+        use_warp = (use_pallas and size == 128
+                    and getattr(self, '_mip_pyramid', None) is not None)
+        if use_warp:
+            # background handled inside the fused warp+rasterize kernel below
+            background = None
         elif self._packed_texture is not None:
             background = sample_background_packed(
                 self._packed_texture, cam_xy, cam_sc, scale, size, bg_color,
@@ -266,9 +263,20 @@ class JaxRenderer(BirdviewRenderer):
             st, tz, tcolors = sort_prims_rowmajor(st, tz, tcolors, size, cap)
             qmask = prim_band_chunk_masks(sq, size, n_bands)
             tmask = prim_band_chunk_masks(st, size, n_bands)
-            image = rasterize_hard_pallas_prims_banded(
-                sq, qz, qcolors, st, tz, tcolors, size, background,
-                qmask, tmask)
+            if use_warp:
+                # fused kernel: warp + rasterize + composite in one program,
+                # no background HBM round trip (bit-exact vs the split path)
+                from torchdrivesim_tpu.ops.pallas_fused import (
+                    render_prims_fused_pallas)
+                from torchdrivesim_tpu.ops.pallas_warp import select_mip
+                mip = select_mip(self._mip_pyramid, fov=2.0 / scale)
+                image = render_prims_fused_pallas(
+                    mip, cam_xy, cam_sc, scale, bg_color, sq, qz, qcolors,
+                    st, tz, tcolors, qmask, tmask, res=size, left_handed=lh)
+            else:
+                image = rasterize_hard_pallas_prims_banded(
+                    sq, qz, qcolors, st, tz, tcolors, size, background,
+                    qmask, tmask)
         else:
             # cap each prim type at half the face budget (the cull keeps the
             # view-nearest prims, so only off-screen content is dropped) --
