@@ -31,13 +31,18 @@ import numpy as np
 
 
 def timed_steps(rollout_fn, state, n_warm=1, n_timed=3):
+    # pin the tunneled client's synchronous dispatch mode and end the timed
+    # region with a value fetch: async-mode completion signals are
+    # unreliable (see benchmark.run_benchmark)
+    from torchdrivesim_tpu.benchmark import sync_pin
+    sync_pin()
     for _ in range(n_warm):
         state, checksum = rollout_fn(state)
         checksum.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(n_timed):
         state, checksum = rollout_fn(state)
-    checksum.block_until_ready()
+    float(jnp.sum(checksum))
     return time.perf_counter() - t0
 
 

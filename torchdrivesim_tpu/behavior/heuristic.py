@@ -83,6 +83,8 @@ def heuristic_initialize(lanelet_map, agent_num: int,
             rng.setstate(random.getstate())
             random.setstate(state)
     if agent_num > 0:
-        return (jnp.asarray(attrs, dtype=jnp.float32)[None],
-                jnp.asarray(states, dtype=jnp.float32)[None])
-    return jnp.zeros((1, 0, 3)), jnp.zeros((1, 0, 4))
+        # host numpy: initialization is scenario construction, and host
+        # leaves keep downstream jit constants off the device (mesh._host)
+        return (np.asarray(attrs, dtype=np.float32)[None],
+                np.asarray(states, dtype=np.float32)[None])
+    return np.zeros((1, 0, 3), np.float32), np.zeros((1, 0, 4), np.float32)

@@ -51,9 +51,12 @@ def load_or_bake_texture(cfg: MapConfig, color_map, rendering_levels,
     """Background texture for a map, cached on disk as float16."""
     path = texture_cache_path(cfg, ppm)
     if path and os.path.exists(path):
+        # host numpy leaves: downstream packing (mip pyramid, packed RGB8)
+        # happens on the host, and a device round trip here would poison
+        # dispatch latency for the whole process (mesh.py ``_host``)
         with np.load(path) as data:
-            return Grid2D(data=jnp.asarray(data['data'].astype(np.float32)),
-                          origin=jnp.asarray(data['origin'].astype(np.float32)),
+            return Grid2D(data=data['data'].astype(np.float32),
+                          origin=data['origin'].astype(np.float32),
                           cell_size=float(data['cell']))
     from torchdrivesim_tpu.mesh import set_colors_with_defaults
     from torchdrivesim_tpu.scene_mesh import BirdviewRGBMeshGenerator
@@ -64,14 +67,17 @@ def load_or_bake_texture(cfg: MapConfig, color_map, rendering_levels,
         background_color=jnp.asarray(color_map['background'],
                                      jnp.float32) / 255.0,
         pixels_per_meter=ppm)
+    # one D2H fetch (unavoidable when baking fresh), then host leaves
+    data_np = np.asarray(texture.data, np.float32)
+    origin_np = np.asarray(texture.origin, np.float64)
     if path:
         try:
-            np.savez_compressed(path, data=np.asarray(texture.data, np.float16),
-                                origin=np.asarray(texture.origin, np.float64),
-                                cell=texture.cell_size)
+            np.savez_compressed(path, data=data_np.astype(np.float16),
+                                origin=origin_np, cell=texture.cell_size)
         except OSError:
             pass
-    return texture
+    return Grid2D(data=data_np, origin=origin_np.astype(np.float32),
+                  cell_size=texture.cell_size)
 
 
 @dataclass
@@ -197,10 +203,10 @@ def build_benchmark_scenario(map_name: str = 'carla_Town02',
                                              min_speed=1, max_speed=8)
         layouts.append((attrs, states))
     reps = int(np.ceil(batch_size / len(layouts)))
-    attrs = jnp.concatenate([a for a, _ in layouts], axis=0)
-    states = jnp.concatenate([s for _, s in layouts], axis=0)
-    attrs = jnp.tile(attrs, (reps, 1, 1))[:batch_size]
-    states = jnp.tile(states, (reps, 1, 1))[:batch_size]
+    attrs = np.concatenate([a for a, _ in layouts], axis=0)
+    states = np.concatenate([s for _, s in layouts], axis=0)
+    attrs = np.tile(attrs, (reps, 1, 1))[:batch_size]
+    states = np.tile(states, (reps, 1, 1))[:batch_size]
 
     kin = K.KinematicBicycle(
         dt=dt, left_handed=bool(cfg_map.left_handed_coordinates))
@@ -218,7 +224,7 @@ def build_benchmark_scenario(map_name: str = 'carla_Town02',
     road = mesh.expand(batch_size) if mesh.batch_size == 1 else mesh
     sim = Simulator(
         road_mesh=road, kinematic_model=kin, agent_size=attrs[..., :2],
-        initial_present_mask=jnp.ones((batch_size, agent_count), dtype=bool),
+        initial_present_mask=np.ones((batch_size, agent_count), dtype=bool),
         cfg=cfg, traffic_controls=controls, map_grids=grids,
         lanelet_map=[lanelet_map] * batch_size)
     sim.renderer.res = Resolution(res, res)
@@ -236,6 +242,17 @@ def build_benchmark_scenario(map_name: str = 'carla_Town02',
             sim.set_light_schedule(schedule)
 
     return BenchmarkScenario(sim=sim, schedule=schedule, res=res, fov=fov, dt=dt)
+
+
+def sync_pin():
+    """
+    Force the JAX client into its synchronous dispatch mode by fetching one
+    device value. On tunneled backends (axon) the async mode's completion
+    signals are unreliable and queue flushes are pathologically slow, so
+    benchmarks pin sync mode for honest wall-clock timing; on local
+    backends this is a no-op cost-wise.
+    """
+    return float(jnp.zeros(()) + 1.0)
 
 
 def run_benchmark(scenario: BenchmarkScenario, steps_per_chunk: int = 50,
@@ -259,6 +276,15 @@ def run_benchmark(scenario: BenchmarkScenario, steps_per_chunk: int = 50,
                                         length=steps_per_chunk)
         return final, jnp.sum(summaries)
 
+    # Timing protocol for tunneled TPU clients (axon): while a process has
+    # never fetched a device value, dispatches queue asynchronously,
+    # ``block_until_ready``/``is_ready`` return WITHOUT waiting, and
+    # flushing the queue with a value fetch is pathologically slow (10-30x
+    # device time). The first value fetch flips the client into a
+    # synchronous per-dispatch mode (~3 ms tunnel round trip per dispatch)
+    # whose timings ARE honest. So: pin sync mode with a deliberate fetch
+    # before timing, and end the timed region with a value fetch.
+    sync_pin()
     state = sim.state
     for _ in range(warmup_chunks):
         state, checksum = rollout_chunk(state)
@@ -266,7 +292,7 @@ def run_benchmark(scenario: BenchmarkScenario, steps_per_chunk: int = 50,
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         state, checksum = rollout_chunk(state)
-    checksum.block_until_ready()
+    checksum_value = float(checksum)             # value fetch: true barrier
     elapsed = time.perf_counter() - t0
     env_steps = b * steps_per_chunk * n_chunks
     return {
@@ -274,5 +300,5 @@ def run_benchmark(scenario: BenchmarkScenario, steps_per_chunk: int = 50,
         'elapsed_sec': elapsed,
         'env_steps': env_steps,
         'batch_size': b,
-        'checksum': float(checksum),
+        'checksum': checksum_value,
     }

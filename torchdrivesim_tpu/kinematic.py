@@ -413,7 +413,9 @@ class KinematicModel:
         self.params = self.params.replace(lr=f(self.params.lr))
 
     def set_state(self, state):
-        self.state = jnp.asarray(state)
+        # host input stays host (scenario construction); device stays device
+        self.state = state if isinstance(state, jnp.ndarray) \
+            else np.asarray(state)
 
     def get_state(self):
         return self.state
@@ -508,7 +510,10 @@ class KinematicBicycle(KinematicModel):
 
     def set_params(self, **kwargs):
         assert 'lr' in kwargs
-        self.params = self.params.replace(lr=jnp.asarray(kwargs['lr']))
+        lr = kwargs['lr']
+        if not isinstance(lr, jnp.ndarray):
+            lr = np.asarray(lr)
+        self.params = self.params.replace(lr=lr)
 
 
 class BicycleNoReversing(KinematicBicycle):

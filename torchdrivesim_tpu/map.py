@@ -263,7 +263,7 @@ def traffic_controls_from_map_config(cfg: MapConfig) -> Dict[str, BaseTrafficCon
     controls = {}
     for kind, rows in by_type.items():
         if rows:
-            control = classes[kind](jnp.asarray(rows, dtype=jnp.float32)[None])
+            control = classes[kind](np.asarray(rows, dtype=np.float32)[None])
             control.actor_ids = ids_by_type[kind]
             controls[kind] = control
     return controls

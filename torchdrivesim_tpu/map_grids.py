@@ -75,14 +75,14 @@ class MapGrids:
 def load_map_grids(path: str) -> MapGrids:
     with np.load(path) as data:
         distance = Grid2D(
-            data=jnp.asarray(data['distance'].astype(np.float32)),
-            origin=jnp.asarray(data['distance_origin'].astype(np.float32)),
+            data=data['distance'].astype(np.float32),
+            origin=data['distance_origin'].astype(np.float32),
             cell_size=float(data['distance_cell']))
         direction = None
         if 'direction' in data:
             direction = Grid2D(
-                data=jnp.asarray(data['direction'].astype(np.int32)),
-                origin=jnp.asarray(data['direction_origin'].astype(np.float32)),
+                data=data['direction'].astype(np.int32),
+                origin=data['direction_origin'].astype(np.float32),
                 cell_size=float(data['direction_cell']))
     return MapGrids(distance=distance, direction=direction).with_quad()
 
@@ -270,8 +270,8 @@ def _bake_direction(lanelet_map, distance: Grid2D, cell_size: float,
     for layer in range(k):
         packed |= q[..., layer] << (8 * layer)
     data = packed.astype(np.int32)[..., None]
-    return Grid2D(data=jnp.asarray(data),
-                  origin=jnp.asarray(origin, dtype=jnp.float32),
+    return Grid2D(data=data,
+                  origin=np.asarray(origin, dtype=np.float32),
                   cell_size=float(cell_size))
 
 

@@ -31,15 +31,19 @@ from torchdrivesim_tpu.utils import is_inside_polygon, merge_dicts, rotate
 Color = Union[jnp.ndarray, np.ndarray, Tuple[int, int, int], List[int]]
 
 
-def tensor_color(color: Color, dtype=jnp.float32) -> jnp.ndarray:
+def tensor_color(color: Color, dtype=None):
     """
     Normalize color representations to a float (3,) array in [0,1]
     (semantics of `mesh.py:32-47`): int tuples are treated as 0-255 RGB,
-    arrays are assumed already in [0,1].
+    arrays are assumed already in [0,1]. Host inputs (tuples, lists, numpy)
+    yield HOST numpy arrays so color tables built at scenario-construction
+    time embed as host jit constants (see ``_host``); jax arrays stay jax.
     """
-    if isinstance(color, (jnp.ndarray, np.ndarray)):
-        return jnp.asarray(color, dtype=dtype)
-    return jnp.asarray(color, dtype=dtype) / 255.0
+    if isinstance(color, jnp.ndarray) and not isinstance(color, np.ndarray):
+        return jnp.asarray(color, dtype=dtype or jnp.float32)
+    if isinstance(color, np.ndarray):
+        return np.asarray(color, dtype=dtype or np.float32)
+    return np.asarray(color, dtype=dtype or np.float32) / 255.0
 
 
 class BadMeshFormat(RuntimeError):
@@ -50,9 +54,20 @@ def _np(x) -> np.ndarray:
     return np.asarray(x)
 
 
-def _extend_batch(x: jnp.ndarray, n: int) -> jnp.ndarray:
+def _host(*xs) -> bool:
+    """
+    True if every array is host-resident (numpy). Meshes loaded from disk
+    keep numpy leaves until they cross a jit boundary: a device->host fetch
+    (``np.asarray`` on a device array) permanently degrades subsequent
+    dispatch latency on tunneled TPU backends, so setup-time mesh surgery
+    (collate/trim/separate) must never round-trip through the device.
+    """
+    return all(isinstance(x, np.ndarray) for x in xs)
+
+
+def _extend_batch(x, n: int):
     """Repeat each batch element n times contiguously (a,b -> a,a,b,b)."""
-    return jnp.repeat(x, n, axis=0)
+    return (np if _host(x) else jnp).repeat(x, n, axis=0)
 
 
 def _pad_stack(arrays: List[np.ndarray], fill) -> np.ndarray:
@@ -122,7 +137,8 @@ class BaseMesh:
                                    faces=_extend_batch(self.faces, size))
 
     def select_batch_elements(self, idx) -> "BaseMesh":
-        idx = jnp.asarray(idx)
+        idx = np.asarray(idx) if _host(self.verts) and not isinstance(
+            idx, jnp.ndarray) else jnp.asarray(idx)
         return dataclasses.replace(self, verts=self.verts[idx], faces=self.faces[idx])
 
     def __getitem__(self, item) -> "BaseMesh":
@@ -130,22 +146,30 @@ class BaseMesh:
 
     def translate(self, xy: jnp.ndarray) -> "BaseMesh":
         """Shift the mesh by Bx2 offsets (ref: `mesh.py:155`), functionally."""
-        shifted = self.verts.at[..., :2].add(xy[:, None, :])
+        if _host(self.verts, xy):
+            shifted = self.verts.copy()
+            shifted[..., :2] += np.asarray(xy)[:, None, :]
+        else:
+            shifted = jnp.asarray(self.verts).at[..., :2].add(xy[:, None, :])
         return dataclasses.replace(self, verts=shifted)
 
     def offset(self, offset: jnp.ndarray) -> "BaseMesh":
         """Shift all vertices by a constant offset, zero-padded to dim."""
-        offset = jnp.asarray(offset)
+        xp = np if _host(self.verts) and not isinstance(offset, jnp.ndarray) \
+            else jnp
+        offset = xp.asarray(offset)
         if offset.shape[-1] < self.dim:
             pad = self.dim - offset.shape[-1]
-            offset = jnp.concatenate(
-                [offset, jnp.zeros(offset.shape[:-1] + (pad,), offset.dtype)], axis=-1)
+            offset = xp.concatenate(
+                [offset, xp.zeros(offset.shape[:-1] + (pad,), offset.dtype)], axis=-1)
         return dataclasses.replace(self, verts=self.verts + offset)
 
     def pad(self, pad_size: int) -> "BaseMesh":
         """Append ``pad_size`` zero batch elements."""
-        f = lambda x: jnp.concatenate(
-            [x, jnp.zeros((pad_size,) + x.shape[1:], x.dtype)], axis=0)
+        def f(x):
+            xp = np if _host(x) else jnp
+            return xp.concatenate(
+                [x, xp.zeros((pad_size,) + x.shape[1:], x.dtype)], axis=0)
         return dataclasses.replace(self, verts=f(self.verts), faces=f(self.faces))
 
     @classmethod
@@ -153,14 +177,16 @@ class BaseMesh:
         """Batch single-element meshes with padding (ref: `mesh.py:171-183`)."""
         verts = _pad_stack([_np(m.verts)[0] for m in meshes], cls._verts_fill)
         faces = _pad_stack([_np(m.faces)[0] for m in meshes], cls._faces_fill)
-        return cls(verts=jnp.asarray(verts), faces=jnp.asarray(faces))
+        return cls(verts=verts, faces=faces)
 
     @classmethod
     def concat(cls, meshes: Sequence["BaseMesh"]) -> "BaseMesh":
         """Concatenate meshes into one scene, offsetting face indices."""
-        verts = jnp.concatenate([m.verts for m in meshes], axis=-2)
+        xp = np if _host(*[m.verts for m in meshes],
+                         *[m.faces for m in meshes]) else jnp
+        verts = xp.concatenate([m.verts for m in meshes], axis=-2)
         offsets = np.concatenate([[0], np.cumsum([m.verts_count for m in meshes])[:-1]])
-        faces = jnp.concatenate(
+        faces = xp.concatenate(
             [m.faces + int(off) for m, off in zip(meshes, offsets)], axis=-2)
         return cls(verts=verts, faces=faces)
 
@@ -182,8 +208,8 @@ class BaseMesh:
     @classmethod
     def _deserialize_tensors(cls, data: Dict) -> Dict:
         out = dict(data)
-        out.update(verts=jnp.asarray(np.asarray(data['verts'], dtype=np.float32)),
-                   faces=jnp.asarray(np.asarray(data['faces'], dtype=np.int32)))
+        out.update(verts=np.asarray(data['verts'], dtype=np.float32),
+                   faces=np.asarray(data['faces'], dtype=np.int32))
         return out
 
     @classmethod
@@ -218,8 +244,7 @@ class BaseMesh:
             return state
         if not isinstance(state, dict) or 'fields' not in state:
             raise BadMeshFormat
-        fields = {k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
-                  for k, v in state['fields'].items()}
+        fields = dict(state['fields'])
         klass = _MESH_CLASSES.get(state.get('cls'), cls)
         return klass(**fields)
 
@@ -253,11 +278,11 @@ class BaseMesh:
             kept_faces.append(remap[fsel] if fsel.size else fsel)
             kept_verts_list.append(verts_np[i][used])
             kept_idx_list.append(used)
-        faces_out = jnp.asarray(_pad_stack([f.astype(np.int32) for f in kept_faces], 0)) \
+        faces_out = _pad_stack([f.astype(np.int32) for f in kept_faces], 0) \
             if kept_faces else self.faces
         if trim_face_only:
             return self.verts, faces_out, None
-        verts_out = jnp.asarray(_pad_stack(kept_verts_list, 0.0))
+        verts_out = _pad_stack(kept_verts_list, 0.0)
         idx_out = _pad_stack([i.astype(np.int64) for i in kept_idx_list], 0)
         return verts_out, faces_out, idx_out
 
@@ -320,7 +345,7 @@ class AttributeMesh(BaseMesh):
     def collate(cls, meshes) -> "AttributeMesh":
         base = BaseMesh.collate(meshes)
         attrs = _pad_stack([_np(m.attrs)[0] for m in meshes], cls._attrs_fill)
-        return cls(verts=base.verts, faces=base.faces, attrs=jnp.asarray(attrs))
+        return cls(verts=base.verts, faces=base.faces, attrs=attrs)
 
     def serialize(self) -> Dict:
         data = super().serialize()
@@ -330,7 +355,7 @@ class AttributeMesh(BaseMesh):
     @classmethod
     def _deserialize_tensors(cls, data: Dict) -> Dict:
         out = super()._deserialize_tensors(data)
-        out['attrs'] = jnp.asarray(np.asarray(data['attrs'], dtype=np.float32))
+        out['attrs'] = np.asarray(data['attrs'], dtype=np.float32)
         return out
 
     @classmethod
@@ -345,7 +370,7 @@ class AttributeMesh(BaseMesh):
         if idx is None:
             attrs = self.attrs
         else:
-            attrs = jnp.asarray(np.take_along_axis(_np(self.attrs), idx[..., None], axis=1))
+            attrs = np.take_along_axis(_np(self.attrs), idx[..., None], axis=1)
         return dataclasses.replace(self, verts=verts, faces=faces, attrs=attrs)
 
 
@@ -442,7 +467,7 @@ class BirdviewMesh(BaseMesh):
         return cls(verts=base.verts, faces=base.faces,
                    categories=first.categories if first else [],
                    colors=first.colors if first else {}, zs=first.zs if first else {},
-                   vert_category=jnp.asarray(vert_category))
+                   vert_category=vert_category)
 
     def fill_attr(self) -> RGBMesh:
         """
@@ -486,11 +511,11 @@ class BirdviewMesh(BaseMesh):
     def _deserialize_tensors(cls, data: Dict) -> Dict:
         out = super()._deserialize_tensors(data)
         out.update(categories=data['categories'],
-                   colors={k: jnp.asarray(np.asarray(v, dtype=np.float32))
+                   colors={k: np.asarray(v, dtype=np.float32)
                            for k, v in data['colors'].items()},
                    zs=data['zs'],
-                   vert_category=jnp.asarray(np.asarray(data['vert_category'],
-                                                        dtype=np.int32)),
+                   vert_category=np.asarray(data['vert_category'],
+                                            dtype=np.int32),
                    _cat_fill=data.get('_cat_fill', 0))
         return out
 
@@ -507,8 +532,8 @@ class BirdviewMesh(BaseMesh):
         if idx is None:
             vc = self.vert_category
         else:
-            vc = jnp.asarray(np.take_along_axis(
-                _np(self.vert_category), idx, axis=1).astype(np.int32))
+            vc = np.take_along_axis(
+                _np(self.vert_category), idx, axis=1).astype(np.int32)
         return dataclasses.replace(self, verts=verts, faces=faces, vert_category=vc)
 
     def separate_by_category(self) -> Dict[str, BaseMesh]:
@@ -659,7 +684,8 @@ def generate_disc_mesh(radius: float = 2.0, num_triangles: int = 10
     idx = np.arange(num_triangles)
     faces = np.stack([np.zeros_like(idx), idx + 1, (idx + 1) % num_triangles + 1],
                      axis=-1).astype(np.int32)
-    return jnp.asarray(verts), jnp.asarray(faces)
+    # host arrays: this is a scenario-construction template (see _host)
+    return verts, faces
 
 
 def build_verts_faces_from_bounding_box(bbs: jnp.ndarray, z: float = 2

@@ -36,15 +36,17 @@ def box2corners(box: jnp.ndarray) -> jnp.ndarray:
     Returns:
         (..., 4, 2) corners in the order (+l+w, -l+w, -l-w, +l-w)/2 rotated.
     """
+    # numpy in -> numpy out (host corner tables embed as host constants)
+    xp = np if isinstance(box, np.ndarray) else jnp
     x, y = box[..., 0:1], box[..., 1:2]
     w, h = box[..., 2:3], box[..., 3:4]
     alpha = box[..., 4:5]
-    x4 = jnp.asarray([0.5, -0.5, -0.5, 0.5], dtype=box.dtype) * w
-    y4 = jnp.asarray([0.5, 0.5, -0.5, -0.5], dtype=box.dtype) * h
-    c, s = jnp.cos(alpha), jnp.sin(alpha)
+    x4 = xp.asarray([0.5, -0.5, -0.5, 0.5], dtype=box.dtype) * w
+    y4 = xp.asarray([0.5, 0.5, -0.5, -0.5], dtype=box.dtype) * h
+    c, s = xp.cos(alpha), xp.sin(alpha)
     cx = x4 * c - y4 * s + x
     cy = x4 * s + y4 * c + y
-    return jnp.stack([cx, cy], axis=-1)
+    return xp.stack([cx, cy], axis=-1)
 
 
 def box2corners_with_rear_factor(box: jnp.ndarray, rear_factor: float = 1.0) -> jnp.ndarray:

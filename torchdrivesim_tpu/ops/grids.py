@@ -64,12 +64,13 @@ def bilinear_sample(grid: Grid2D, points: jnp.ndarray,
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
     h, w = grid.data.shape[0], grid.data.shape[1]
+    data = jnp.asarray(grid.data)   # host grids embed as jit constants
 
     def gather(yi, xi):
         valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
         xi = jnp.clip(xi, 0, w - 1)
         yi = jnp.clip(yi, 0, h - 1)
-        vals = grid.data[yi, xi]  # advanced indexing -> XLA gather
+        vals = data[yi, xi]  # advanced indexing -> XLA gather
         return jnp.where(valid[..., None], vals, fill_value)
 
     v00 = gather(y0i, x0i)
@@ -96,20 +97,29 @@ def pack_bilinear_quad(grid: Grid2D) -> Grid2D:
     persisted as float16 anyway.
     """
     assert grid.data.shape[-1] == 1
-    v = grid.data[..., 0].astype(jnp.float32)
-    vpad = jnp.pad(v, ((0, 1), (0, 1)), constant_values=0.0)
+    host = isinstance(grid.data, np.ndarray)
+    xp = np if host else jnp
+    v = grid.data[..., 0].astype(xp.float32)
+    vpad = xp.pad(v, ((0, 1), (0, 1)), constant_values=0.0)
     h, w = v.shape
 
-    def bf16_bits(x):
-        # round-to-nearest-even to bf16, kept in the high half of an int32
-        return (jax.lax.bitcast_convert_type(
-            x.astype(jnp.bfloat16).astype(jnp.float32), jnp.int32)
-            >> 16) & 0xFFFF
+    if host:
+        import ml_dtypes
+
+        def bf16_bits(x):
+            return (x.astype(ml_dtypes.bfloat16).astype(np.float32)
+                    .view(np.int32) >> 16) & 0xFFFF
+    else:
+        def bf16_bits(x):
+            # round-to-nearest-even to bf16, in the high half of an int32
+            return (jax.lax.bitcast_convert_type(
+                x.astype(jnp.bfloat16).astype(jnp.float32), jnp.int32)
+                >> 16) & 0xFFFF
 
     def pack_row(r):
         return (bf16_bits(r[:h, :w]) << 16) | bf16_bits(r[:h, 1:w + 1])
 
-    data = jnp.stack([pack_row(vpad), pack_row(vpad[1:])], axis=-1)
+    data = xp.stack([pack_row(vpad), pack_row(vpad[1:])], axis=-1)
     return Grid2D(data=data, origin=grid.origin, cell_size=grid.cell_size,
                   valid_shape=grid.valid_shape)
 
@@ -140,7 +150,7 @@ def bilinear_sample_quad(packed: Grid2D, points: jnp.ndarray,
     valid = (x0i >= 0) & (x0i < w - 1) & (y0i >= 0) & (y0i < h - 1)
     xi = jnp.clip(x0i, 0, w - 1)
     yi = jnp.clip(y0i, 0, h - 1)
-    g = packed.data[yi, xi]                               # (..., 2) int32
+    g = jnp.asarray(packed.data)[yi, xi]                  # (..., 2) int32
 
     def unbf(bits):
         return jax.lax.bitcast_convert_type((bits & 0xFFFF) << 16,
@@ -164,7 +174,7 @@ def nearest_sample(grid: Grid2D, points: jnp.ndarray,
     valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
     xi = jnp.clip(xi, 0, w - 1)
     yi = jnp.clip(yi, 0, h - 1)
-    vals = grid.data[yi, xi]
+    vals = jnp.asarray(grid.data)[yi, xi]
     return jnp.where(valid[..., None], vals, fill_value)
 
 

@@ -59,8 +59,10 @@ def build_mip_pyramid(texture: Grid2D, max_levels: int = 6):
         pad_h = int(np.ceil(h / 128)) * 128 + (WINDOW - 128) - h
         pad_w = int(np.ceil(w / 128)) * 128 + (WINDOW - 128) - w
         packed = np.pad(packed, ((0, max(pad_h, 0)), (0, max(pad_w, 0))))
-        levels.append(Grid2D(data=jnp.asarray(packed)[..., None],
-                             origin=jnp.asarray(origin, jnp.float32),
+        # host numpy: embedded as compile-time constants without a device
+        # round trip (device closure constants force a D2H at lowering)
+        levels.append(Grid2D(data=packed[..., None],
+                             origin=origin.astype(np.float32),
                              cell_size=cell, valid_shape=(h, w)))
         if h // 2 < 8 or w // 2 < 8:
             break

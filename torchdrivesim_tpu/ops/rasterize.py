@@ -594,8 +594,9 @@ def pack_texture_rgb8(texture: Grid2D) -> Grid2D:
     of 12 (4 bilinear taps x 3 channels), which is the difference between
     gather-bound and compute-bound rendering on TPU.
     """
-    rgb = jnp.clip(jnp.asarray(texture.data), 0.0, 1.0)
-    q = jnp.round(rgb * 255.0).astype(jnp.uint32)
+    xp = np if isinstance(texture.data, np.ndarray) else jnp
+    rgb = xp.clip(xp.asarray(texture.data), 0.0, 1.0)
+    q = xp.round(rgb * 255.0).astype(xp.uint32)
     packed = q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)
     return Grid2D(data=packed[..., None], origin=texture.origin,
                   cell_size=texture.cell_size)
@@ -626,7 +627,7 @@ def sample_background_packed(texture_packed: Grid2D, cam_xy: jnp.ndarray,
     yi = jnp.round(uv[..., 1]).astype(jnp.int32)
     h, w = texture_packed.data.shape[0], texture_packed.data.shape[1]
     valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-    flat = texture_packed.data[..., 0].reshape(-1)
+    flat = jnp.asarray(texture_packed.data)[..., 0].reshape(-1)
     idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
     packed = flat[idx]
     r = (packed & 0xFF).astype(jnp.float32) / 255.0

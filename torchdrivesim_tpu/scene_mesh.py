@@ -48,26 +48,29 @@ def make_actor_templates(lenwid: jnp.ndarray, render_direction: bool = True
         (verts (B, A, 7, 2) local frame, faces (A*3, 3) numpy) when
         direction is rendered, else ((B, A, 4, 2), (A*2, 3)).
     """
+    # numpy in -> numpy out: templates built at scenario-construction time
+    # embed as host jit constants (device constants D2H at lowering)
+    xp = np if isinstance(lenwid, np.ndarray) else jnp
     length = lenwid[..., 0:1]
     width = lenwid[..., 1:2]
     half_l = length / 2
     half_w = width / 2
-    zeros = jnp.zeros_like(half_l)
-    box = jnp.stack([
-        jnp.concatenate([half_l, half_w], axis=-1),
-        jnp.concatenate([half_l, -half_w], axis=-1),
-        jnp.concatenate([-half_l, -half_w], axis=-1),
-        jnp.concatenate([-half_l, half_w], axis=-1),
+    zeros = xp.zeros_like(half_l)
+    box = xp.stack([
+        xp.concatenate([half_l, half_w], axis=-1),
+        xp.concatenate([half_l, -half_w], axis=-1),
+        xp.concatenate([-half_l, -half_w], axis=-1),
+        xp.concatenate([-half_l, half_w], axis=-1),
     ], axis=-2)  # B, A, 4, 2
     n_actors = lenwid.shape[-2]
     if render_direction:
         # triangle: tip at the front bumper, base behind it spanning the width
         base_x = length * (0.5 - DIRECTION_SIZE)
-        tip = jnp.concatenate([half_l, zeros], axis=-1)
-        base_top = jnp.concatenate([base_x, half_w], axis=-1)
-        base_bot = jnp.concatenate([base_x, -half_w], axis=-1)
-        tri = jnp.stack([tip, base_top, base_bot], axis=-2)
-        verts = jnp.concatenate([box, tri], axis=-2)  # B, A, 7, 2
+        tip = xp.concatenate([half_l, zeros], axis=-1)
+        base_top = xp.concatenate([base_x, half_w], axis=-1)
+        base_bot = xp.concatenate([base_x, -half_w], axis=-1)
+        tri = xp.stack([tip, base_top, base_bot], axis=-2)
+        verts = xp.concatenate([box, tri], axis=-2)  # B, A, 7, 2
         per_agent = np.asarray([[0, 1, 3], [1, 3, 2], [4, 5, 6]], dtype=np.int32)
         stride = ACTOR_BOX_VERTS + ACTOR_DIR_VERTS
     else:
@@ -160,27 +163,30 @@ class BirdviewRGBMeshGenerator:
         self.actor_verts, self.actor_faces = make_actor_templates(
             lenwid, render_agent_direction)
         b, a = lenwid.shape[0], lenwid.shape[1]
-        type_colors = jnp.stack(
-            [tensor_color(self.color_map[n]) for n in agent_type_names])
-        type_z = jnp.asarray([float(self.rendering_levels[n])
-                              for n in agent_type_names])
+        xp = np if (isinstance(lenwid, np.ndarray)
+                    and isinstance(agent_types, np.ndarray)) else jnp
+        type_colors = xp.stack(
+            [xp.asarray(tensor_color(self.color_map[n]))
+             for n in agent_type_names])
+        type_z = xp.asarray([float(self.rendering_levels[n])
+                             for n in agent_type_names])
         box_color = type_colors[agent_types]            # (B, A, 3)
         box_z = type_z[agent_types]                     # (B, A)
         s = self.actor_verts.shape[-2]
         if render_agent_direction:
-            dir_color = tensor_color(self.color_map['direction'])
+            dir_color = xp.asarray(tensor_color(self.color_map['direction']))
             dir_z = float(self.rendering_levels['direction'])
-            attrs = jnp.concatenate([
-                jnp.broadcast_to(box_color[:, :, None], (b, a, ACTOR_BOX_VERTS, 3)),
-                jnp.broadcast_to(dir_color, (b, a, ACTOR_DIR_VERTS, 3)),
+            attrs = xp.concatenate([
+                xp.broadcast_to(box_color[:, :, None], (b, a, ACTOR_BOX_VERTS, 3)),
+                xp.broadcast_to(dir_color, (b, a, ACTOR_DIR_VERTS, 3)),
             ], axis=-2)
-            z = jnp.concatenate([
-                jnp.broadcast_to(box_z[:, :, None], (b, a, ACTOR_BOX_VERTS)),
-                jnp.full((b, a, ACTOR_DIR_VERTS), dir_z),
+            z = xp.concatenate([
+                xp.broadcast_to(box_z[:, :, None], (b, a, ACTOR_BOX_VERTS)),
+                xp.full((b, a, ACTOR_DIR_VERTS), dir_z),
             ], axis=-1)
         else:
-            attrs = jnp.broadcast_to(box_color[:, :, None], (b, a, s, 3))
-            z = jnp.broadcast_to(box_z[:, :, None], (b, a, s))
+            attrs = xp.broadcast_to(box_color[:, :, None], (b, a, s, 3))
+            z = xp.broadcast_to(box_z[:, :, None], (b, a, s))
         self.actor_attrs = attrs
         self.actor_z = z
 
@@ -207,8 +213,8 @@ class BirdviewRGBMeshGenerator:
         if light is not None and light.corners.shape[1] > 0:
             self.light_verts = light.corners              # (B, Nl, 4, 2)
             self.light_z = float(self.rendering_levels['traffic_light'])
-            self.light_color_table = jnp.stack([
-                tensor_color(self.color_map[f'traffic_light_{s}'])
+            self.light_color_table = np.stack([
+                np.asarray(tensor_color(self.color_map[f'traffic_light_{s}']))
                 for s in light.allowed_states])           # (num_states, 3)
         else:
             self.light_verts = None
@@ -320,7 +326,7 @@ class BirdviewRGBMeshGenerator:
             verts2 = self.light_verts.reshape(b, nl * 4, 2)
             z = jnp.full((b, nl * 4, 1), self.light_z, verts2.dtype)
             lverts = jnp.concatenate([verts2, z], axis=-1)
-            colors = self.light_color_table[traffic_light_state]  # (B, Nl, 3)
+            colors = jnp.asarray(self.light_color_table)[traffic_light_state]  # (B, Nl, 3)
             lattrs = jnp.broadcast_to(colors[:, :, None, :],
                                       (b, nl, 4, 3)).reshape(b, nl * 4, 3)
             base = np.asarray([[0, 1, 3], [1, 3, 2]], dtype=np.int32)
@@ -412,7 +418,7 @@ class BirdviewRGBMeshGenerator:
             lf = np.asarray([[0, 1, 3], [1, 3, 2]])
             lcorners = light_verts[:, :, lf]               # (B, Nl, 2, 3, 2)
             lz = jnp.full((b, nl, 2), self.light_z)
-            lcol = self.light_color_table[traffic_light_state]  # (B, Nl, 3)
+            lcol = jnp.asarray(self.light_color_table)[traffic_light_state]  # (B, Nl, 3)
             lcol = jnp.broadcast_to(lcol[:, :, None, :], (b, nl, 2, 3))
             parts.append((lcorners.reshape(b, nl * 2, 3, 2),
                           lz.reshape(b, nl * 2), lcol.reshape(b, nl * 2, 3)))
@@ -488,7 +494,7 @@ class BirdviewRGBMeshGenerator:
             nl = light_verts.shape[1]
             quads.append(light_verts[:, :, cycle])
             qz.append(jnp.full((b, nl), self.light_z))
-            qcol.append(self.light_color_table[traffic_light_state])
+            qcol.append(jnp.asarray(self.light_color_table)[traffic_light_state])
 
         if waypoints is not None:
             m = waypoints.shape[1]

@@ -180,14 +180,17 @@ class NPCController:
                  npc_types: Optional[jnp.ndarray] = None,
                  agent_type_names: Optional[List[str]] = None,
                  spawn_controller: Optional[SpawnController] = None):
-        self.npc_size = jnp.asarray(npc_size)
-        self.initial_npc_state = jnp.asarray(npc_state)
+        def _as(x):
+            return x if isinstance(x, jnp.ndarray) else np.asarray(x)
+        self.npc_size = _as(npc_size)
+        self.initial_npc_state = _as(npc_state)
+        xp = np if isinstance(self.initial_npc_state, np.ndarray) else jnp
         self.initial_npc_present_mask = (
-            jnp.asarray(npc_present_mask) if npc_present_mask is not None
-            else jnp.ones_like(self.initial_npc_state[..., 0], dtype=bool))
-        self.npc_types = (jnp.asarray(npc_types) if npc_types is not None
-                          else jnp.zeros_like(self.initial_npc_present_mask,
-                                              dtype=jnp.int32))
+            _as(npc_present_mask) if npc_present_mask is not None
+            else xp.ones_like(self.initial_npc_state[..., 0], dtype=bool))
+        self.npc_types = (_as(npc_types) if npc_types is not None
+                          else xp.zeros_like(self.initial_npc_present_mask,
+                                             dtype=xp.int32))
         self.agent_type_names = agent_type_names or ['vehicle']
         self.spawn_controller = spawn_controller or SpawnController()
 
@@ -265,10 +268,10 @@ class NPCController:
 
     @classmethod
     def empty(cls, batch_size: int, agent_type_names: Optional[List[str]] = None):
-        return cls(npc_size=jnp.zeros((batch_size, 0, 2)),
-                   npc_state=jnp.zeros((batch_size, 0, 4)),
-                   npc_present_mask=jnp.zeros((batch_size, 0), dtype=bool),
-                   npc_types=jnp.zeros((batch_size, 0), dtype=jnp.int32),
+        return cls(npc_size=np.zeros((batch_size, 0, 2), np.float32),
+                   npc_state=np.zeros((batch_size, 0, 4), np.float32),
+                   npc_present_mask=np.zeros((batch_size, 0), dtype=bool),
+                   npc_types=np.zeros((batch_size, 0), dtype=np.int32),
                    agent_type_names=agent_type_names)
 
 
@@ -408,24 +411,33 @@ class Simulator:
         self.lanelet_map = lanelet_map
         self.recenter_offset = recenter_offset
         self.kinematic_model = kinematic_model
-        self.agent_size = jnp.asarray(agent_size)
+        # host inputs stay host: these become jit closure CONSTANTS, and a
+        # device-array constant forces a device->host fetch at lowering,
+        # which permanently degrades dispatch latency on tunneled backends
+        self.agent_size = agent_size if isinstance(agent_size, jnp.ndarray) \
+            else np.asarray(agent_size)
         self.action_model_extras = action_model_extras
         self.lane_features = lane_features
         self.map_grids = map_grids
         self.warned_no_lanelet = False
 
-        initial_present_mask = jnp.asarray(initial_present_mask)
+        if not isinstance(initial_present_mask, jnp.ndarray):
+            initial_present_mask = np.asarray(initial_present_mask)
+        xp = np if isinstance(initial_present_mask, np.ndarray) else jnp
         if not agent_type_names:
             agent_type_names = ['vehicle']
         if agent_types is None:
-            agent_types = jnp.zeros_like(initial_present_mask, dtype=jnp.int32)
+            agent_types = xp.zeros_like(initial_present_mask, dtype=xp.int32)
         if agent_types.shape[0] == 1:
-            agent_types = jnp.broadcast_to(agent_types, initial_present_mask.shape)
+            xpt = np if isinstance(agent_types, np.ndarray) else jnp
+            agent_types = xpt.broadcast_to(agent_types,
+                                           initial_present_mask.shape)
         if agent_lr is None:
-            agent_lr = jnp.zeros_like(initial_present_mask,
-                                      dtype=self.agent_size.dtype)
+            agent_lr = xp.zeros_like(initial_present_mask,
+                                     dtype=self.agent_size.dtype)
         if agent_lr.shape[0] == 1:
-            agent_lr = jnp.broadcast_to(agent_lr, initial_present_mask.shape)
+            xpl = np if isinstance(agent_lr, np.ndarray) else jnp
+            agent_lr = xpl.broadcast_to(agent_lr, initial_present_mask.shape)
 
         self._agent_types = agent_type_names
         self._batch_size = road_mesh.batch_size
@@ -771,15 +783,21 @@ class Simulator:
     def get_all_agent_state(self) -> jnp.ndarray:
         return jnp.concatenate([self.get_state(), self.get_npc_state()], axis=-2)
 
+    @staticmethod
+    def _cat(arrays, axis):
+        # host inputs stay host so derived tables embed as host jit constants
+        xp = np if all(isinstance(a, np.ndarray) for a in arrays) else jnp
+        return xp.concatenate(arrays, axis=axis)
+
     def get_all_agent_size(self) -> jnp.ndarray:
-        return jnp.concatenate([self.agent_size, self.get_npc_size()], axis=-2)
+        return self._cat([self.agent_size, self.get_npc_size()], axis=-2)
 
     def get_all_agent_present_mask(self) -> jnp.ndarray:
-        return jnp.concatenate(
+        return self._cat(
             [self.get_present_mask(), self.get_npc_present_mask()], axis=-1)
 
     def get_all_agent_type(self) -> jnp.ndarray:
-        return jnp.concatenate([self.agent_type, self.get_npc_types()], axis=-1)
+        return self._cat([self.agent_type, self.get_npc_types()], axis=-1)
 
     def get_all_agents_absolute(self) -> jnp.ndarray:
         """Bx(A+Npc)x6: x, y, psi, length, width, present (ref: `simulator.py:730`)."""

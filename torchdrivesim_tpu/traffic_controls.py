@@ -111,13 +111,16 @@ class BaseTrafficControl:
     def __init__(self, pos: jnp.ndarray, allowed_states: Optional[List[str]] = None,
                  replay_states: Optional[jnp.ndarray] = None,
                  mask: Optional[jnp.ndarray] = None):
-        self.pos = jnp.asarray(pos)
+        # host inputs stay host: corners/masks embed as jit constants
+        _as = lambda x: x if isinstance(x, jnp.ndarray) else np.asarray(x)
+        self.pos = _as(pos)
+        xp = np if isinstance(self.pos, np.ndarray) else jnp
         self.allowed_states = allowed_states if allowed_states is not None \
             else self._default_allowed_states()
-        self.replay_states = jnp.asarray(replay_states) if replay_states is not None \
-            else jnp.zeros(self.pos.shape[:2] + (0,), jnp.int32)
-        self.mask = jnp.asarray(mask) if mask is not None \
-            else jnp.ones(self.pos.shape[:2], dtype=bool)
+        self.replay_states = _as(replay_states) if replay_states is not None \
+            else xp.zeros(self.pos.shape[:2] + (0,), xp.int32)
+        self.mask = _as(mask) if mask is not None \
+            else xp.ones(self.pos.shape[:2], dtype=bool)
         self.corners = masked_corners(self.pos, self.mask)
         self.state = self._default_state()
 
@@ -128,7 +131,8 @@ class BaseTrafficControl:
     def _default_state(self) -> jnp.ndarray:
         if self.replay_states.shape[-1] > 0:
             return self.replay_states[..., 0]
-        return jnp.zeros(self.pos.shape[:2], jnp.int32)
+        xp = np if isinstance(self.pos, np.ndarray) else jnp
+        return xp.zeros(self.pos.shape[:2], xp.int32)
 
     @property
     def total_replay_time(self) -> int:
@@ -145,7 +149,8 @@ class BaseTrafficControl:
 
     def extend(self, n: int, in_place: bool = True) -> "BaseTrafficControl":
         target = self if in_place else self.copy()
-        enlarge = lambda x: jnp.repeat(x, n, axis=0)
+        enlarge = lambda x: (np if isinstance(x, np.ndarray)
+                             else jnp).repeat(x, n, axis=0)
         target.pos = enlarge(self.pos)
         target.corners = enlarge(self.corners)
         target.mask = enlarge(self.mask)

@@ -92,20 +92,24 @@ def is_inside_polygon(point: jnp.ndarray, polygon: jnp.ndarray) -> jnp.ndarray:
     Returns:
         boolean B x P array.
     """
+    # numpy in -> numpy out, so host-resident callers (mesh trimming at
+    # scenario-construction time) never round-trip through the device
+    xp = np if (isinstance(point, np.ndarray)
+                and isinstance(polygon, np.ndarray)) else jnp
     batch_dims = polygon.ndim - 2
     assert batch_dims >= 0
     assert polygon.shape[:batch_dims] == point.shape[:batch_dims]
     for _ in point.shape[batch_dims:-1]:
-        polygon = jnp.expand_dims(polygon, -3)
+        polygon = xp.expand_dims(polygon, -3)
     edges_start = polygon
-    edges_end = jnp.roll(polygon, -1, axis=-2)
+    edges_end = xp.roll(polygon, -1, axis=-2)
     a = edges_end[..., 1] - edges_start[..., 1]
     b = edges_start[..., 0] - edges_end[..., 0]
     c = -a * edges_start[..., 0] - b * edges_start[..., 1]
     is_right = a * point[..., None, 0] + b * point[..., None, 1] + c >= 0
-    all_right = jnp.all(is_right, axis=-1)
-    all_left = jnp.all(jnp.logical_not(is_right), axis=-1)
-    return jnp.logical_or(all_right, all_left)
+    all_right = xp.all(is_right, axis=-1)
+    all_left = xp.all(xp.logical_not(is_right), axis=-1)
+    return xp.logical_or(all_right, all_left)
 
 
 def line_circle_intersection(p1: jnp.ndarray, p2: jnp.ndarray,
