@@ -141,6 +141,9 @@ def main():
             Cameras(cam_xy, cam_sc, renderer.scale))
 
     def loss_fn(params, state0, expert):
+        # rematerialize each step on the backward pass: live activations for
+        # the whole horizon (render + CNN) can exceed HBM on long rollouts
+        @jax.checkpoint
         def body(state, target):
             image = render_ego(state)
             action = policy.apply(params, image)[:, None, :]  # B x 1 x 4

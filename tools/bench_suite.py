@@ -47,7 +47,7 @@ def timed_steps(rollout_fn, state, n_warm=1, n_timed=3):
 
 
 def config1_simulate():
-    from torchdrivesim_tpu.benchmark import build_benchmark_scenario
+    from torchdrivesim_tpu.benchmark import build_benchmark_scenario, sync_pin
     sc = build_benchmark_scenario(batch_size=1, agent_count=20, res=128)
     step = sc.make_step_fn(render=True, metrics=True)
 
@@ -59,9 +59,45 @@ def config1_simulate():
         s, acc = jax.lax.scan(body, state, None, length=100)
         return s, jnp.sum(acc)
 
-    dt = timed_steps(rollout, sc.sim.state)
+    # batch-1 latency is dominated by the tunnel's per-dispatch round trip,
+    # which varies PER PROCESS (3-26 ms for even an empty dispatch);
+    # measure it in-process and report the device-only rate alongside
+    @jax.jit
+    def trivial(t):
+        c, _ = jax.lax.scan(lambda c, _: (c + 1, None), t, None, length=100)
+        return c
+
+    sync_pin()
+    y = trivial(jnp.int32(0)); y.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(8):
+        y = trivial(y)
+    float(y)
+    rtt = (time.perf_counter() - t0) / 8
+
+    state, cks = rollout(sc.sim.state)
+    cks.block_until_ready()
+    # throughput: dispatches pipeline when not blocked between calls; the
+    # single final value fetch is an honest barrier (pinned mode)
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, cks = rollout(state)
+    float(cks)
+    dt_pipe = (time.perf_counter() - t0) / n
+    # latency: one blocking round trip per rollout (noisy over the tunnel:
+    # the per-process RTT lottery spans 3-130 ms; best-of-N is the stable
+    # figure, and dispatch_rtt_ms records this process's draw)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        state, cks = rollout(state)
+        float(cks)
+        times.append(time.perf_counter() - t0)
     return {'config': 'simulate_100step_batch1',
-            'env_steps_per_sec': round(100 * 3 / dt, 1)}
+            'env_steps_per_sec': round(100 / dt_pipe, 1),
+            'blocking_latency_ms': round(min(times) * 1e3, 2),
+            'dispatch_rtt_ms': round(rtt * 1e3, 2)}
 
 
 def config2_infractions():
@@ -141,6 +177,10 @@ def config4_il_gradients():
             mesh, Resolution(res, res), Cameras(cam_xy, cam_sc, 2.0 / 70))
 
     def loss_fn(params, state):
+        # rematerialize each step on the backward pass: storing 40 steps of
+        # render + CNN activations needs ~20 GB HBM (v5e has 16); remat
+        # trades a second forward pass for O(1)-step live activations
+        @jax.checkpoint
         def body(s, _):
             image = render_ego(s)
             act = policy.apply(params, image)
@@ -150,13 +190,15 @@ def config4_il_gradients():
         final, _ = jax.lax.scan(body, state, None, length=horizon)
         return jnp.mean(final.agent_state[:, 0, :2] ** 2)
 
+    from torchdrivesim_tpu.benchmark import sync_pin
+    sync_pin()
     grad_fn = jax.jit(jax.grad(loss_fn))
     g = grad_fn(params, sim.state)
     jax.tree.map(lambda x: x.block_until_ready(), g)
     t0 = time.perf_counter()
     for _ in range(3):
         g = grad_fn(params, sim.state)
-    jax.tree.map(lambda x: x.block_until_ready(), g)
+    float(jax.tree.leaves(g)[0].sum())
     dt = time.perf_counter() - t0
     return {'config': 'il_40step_bptt_through_render_batch16',
             'grad_rollouts_per_sec': round(3 / dt, 2),
