@@ -40,7 +40,7 @@ from torchdrivesim_tpu.ops.pallas_warp import (
 
 def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
                   tcoef_ref, tpk_ref, tex_ref, out_ref, win_ref, sem,
-                  best_ref, *, res, qp, tp, chunk, n_bands):
+                  best_ref, tmp_ref, *, res, qp, tp, chunk, n_bands):
     """One camera per program: banded prim winners (flat tiles, chunk-masked
     via ``@pl.when`` as in ``_raster_kernel_prims_masked``), then warp +
     composite in the 2D layout."""
@@ -80,7 +80,8 @@ def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
                     best_ref[j:j + 1, :], jnp.min(tv, axis=0, keepdims=True))
 
     # warp the texture window (DMA waited inside, after the index math)
-    bg2d = warp_view_packed(fcoef_ref, icoef_ref, 0, win_ref, dma)
+    bg2d = warp_view_packed(fcoef_ref, icoef_ref, 0, win_ref, dma,
+                            tmp_ref=tmp_ref)
 
     # composite per band in the 2D layout; prim pack is rank<<24 | R<<16 |
     # G<<8 | B, background pack is 0x00BBGGRR
@@ -169,6 +170,7 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
             pltpu.VMEM((WINDOW, WINDOW), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((n_bands, PIXELS_PER_TILE), jnp.int32),
+            pltpu.VMEM((WINDOW, RES), jnp.int32),
         ],
     )(fcoef, icoef, qmask, tmask, qcoef, qpk, tcoef, tpk, mip.data[..., 0])
     return out

@@ -104,7 +104,8 @@ def _gather_lanes_256(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 CAMS_PER_PROGRAM = 4
 
 
-def warp_view_packed(fcoef_ref, icoef_ref, c, window_ref, dma=None):
+def warp_view_packed(fcoef_ref, icoef_ref, c, window_ref, dma=None,
+                     tmp_ref=None):
     """
     In-kernel two-pass warp of one camera's loaded ``(WINDOW, WINDOW)`` int32
     texture window into its packed ``(RES, RES)`` RGB8 view (0x00BBGGRR);
@@ -118,6 +119,11 @@ def warp_view_packed(fcoef_ref, icoef_ref, c, window_ref, dma=None):
         window_ref: (WINDOW, WINDOW) int32 texture window VMEM ref.
         dma: optional in-flight copy filling ``window_ref``; waited on only
             after the index math, so the copy overlaps compute.
+        tmp_ref: optional (WINDOW, RES) int32 scratch. When given, the
+            ill-conditioned-rotation branch transposes the window under
+            ``@pl.when`` so only ONE branch executes -- without it the
+            (256, 256) transpose relayout is computed for every camera and
+            discarded by a select half the time.
     """
     rows = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 0).astype(jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 1).astype(jnp.float32)
@@ -149,9 +155,20 @@ def warp_view_packed(fcoef_ref, icoef_ref, c, window_ref, dma=None):
 
     if dma is not None:
         dma.wait()
-    window = window_ref[:, :]
-    window = jnp.where(flip == 1, window.T, window)
-    tmp = _gather_lanes_256(window, h_idx)       # (256, 128)
+    if tmp_ref is None:
+        window = window_ref[:, :]
+        window = jnp.where(flip == 1, window.T, window)
+        tmp = _gather_lanes_256(window, h_idx)   # (256, 128)
+    else:
+        @pl.when(flip == 1)
+        def _():
+            tmp_ref[:, :] = _gather_lanes_256(window_ref[:, :].T, h_idx)
+
+        @pl.when(flip != 1)
+        def _():
+            tmp_ref[:, :] = _gather_lanes_256(window_ref[:, :], h_idx)
+
+        tmp = tmp_ref[:, :]
     out_t = _gather_lanes_256(tmp.T, v_idx_t)    # (128, 128), transposed
     packed = out_t.T
     return jnp.where(valid, packed, bg_packed)
@@ -167,15 +184,15 @@ def start_window_dma(icoef_ref, c, tex_ref, win_ref, sem):
     return dma
 
 
-def _warp_kernel(fcoef_ref, icoef_ref, tex_ref, out_ref, win_ref, sem, *,
-                 cams):
+def _warp_kernel(fcoef_ref, icoef_ref, tex_ref, out_ref, win_ref, sem,
+                 tmp_ref, *, cams):
     # start ALL window DMAs up front so the copies overlap camera compute
     dmas = [start_window_dma(icoef_ref, c, tex_ref, win_ref.at[c], sem.at[c])
             for c in range(cams)]
 
     for c in range(cams):
         packed = warp_view_packed(fcoef_ref, icoef_ref, c, win_ref.at[c],
-                                  dmas[c])
+                                  dmas[c], tmp_ref=tmp_ref)
         inv255 = 1.0 / 255.0
         out_ref[c, 0] = (packed & 0xFF).astype(jnp.float32) * inv255
         out_ref[c, 1] = ((packed >> 8) & 0xFF).astype(jnp.float32) * inv255
@@ -319,6 +336,7 @@ def warp_background_pallas(mip: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray
         scratch_shapes=[
             pltpu.VMEM((cams, WINDOW, WINDOW), jnp.int32),
             pltpu.SemaphoreType.DMA((cams,)),
+            pltpu.VMEM((WINDOW, RES), jnp.int32),
         ],
     )(fcoef, icoef, mip.data[..., 0])
     if b_pad != b:
