@@ -56,21 +56,32 @@ def main():
         stt = camera_rows_cols(tris.reshape(b, t * 3, 2), cam_xy, cam_sc,
                                scale, RES).reshape(b, t, 3, 2)
         bg = warp_background_pallas(mip, cam_xy, cam_sc, scale, bg_color)
-        return st, (sq, qz, qc, stt, tz, tc, bg)
+        return st, (sq, qz, qc, stt, tz, tc, bg, cam_xy, cam_sc, scale)
 
     def tail_gen(args):
-        sq, qz, qc, stt, tz, tc, bg = args
+        sq, qz, qc, stt, tz, tc, bg, *_ = args
         return jnp.sum(sq) + jnp.sum(stt) + jnp.sum(bg)
 
+    def tail_gen_nowarp(args):
+        sq, qz, qc, stt, tz, tc, bg, *_ = args
+        return jnp.sum(sq) + jnp.sum(stt) + jnp.sum(qc) + jnp.sum(tc)
+
+    def tail_sort_only(args):
+        sq, qz, qc, stt, tz, tc, bg, *_ = args
+        sq, qz, qc = sort_prims_rowmajor(sq, qz, qc, RES, 56)
+        stt, tz, tc = sort_prims_rowmajor(stt, tz, tc, RES, 56)
+        return (jnp.sum(sq) + jnp.sum(stt) + jnp.sum(qc) + jnp.sum(tc)
+                + jnp.sum(qz) + jnp.sum(tz))
+
     def tail_old(args):
-        sq, qz, qc, stt, tz, tc, bg = args
+        sq, qz, qc, stt, tz, tc, bg, *_ = args
         sq, qz, qc = cull_prims_to_view(sq, qz, qc, RES, 56)
         stt, tz, tc = cull_prims_to_view(stt, tz, tc, RES, 56)
         img = pr.rasterize_hard_pallas_prims(sq, qz, qc, stt, tz, tc, RES, bg)
         return jnp.sum(img)
 
     def sortmask(args):
-        sq, qz, qc, stt, tz, tc, bg = args
+        sq, qz, qc, stt, tz, tc, bg, *_ = args
         sq, qz, qc = sort_prims_rowmajor(sq, qz, qc, RES, 56)
         stt, tz, tc = sort_prims_rowmajor(stt, tz, tc, RES, 56)
         qm = prim_band_chunk_masks(sq, RES, 4)
@@ -88,8 +99,23 @@ def main():
             sq, qz, qc, stt, tz, tc, RES, bg, qm, tm)
         return jnp.sum(img)
 
-    tails = {'gen': tail_gen, 'old': tail_old, 'sortmask': tail_sortmask,
-             'banded': tail_banded}
+    def tail_fused(args):
+        from torchdrivesim_tpu.ops.pallas_fused import render_prims_fused_pallas
+        sq, qz, qc, stt, tz, tc, cam_xy, cam_sc, scale = (
+            args[0], args[1], args[2], args[3], args[4], args[5],
+            args[7], args[8], args[9])
+        sq, qz, qc = sort_prims_rowmajor(sq, qz, qc, RES, 56)
+        stt, tz, tc = sort_prims_rowmajor(stt, tz, tc, RES, 56)
+        qm = prim_band_chunk_masks(sq, RES, 4)
+        tm = prim_band_chunk_masks(stt, RES, 4)
+        img = render_prims_fused_pallas(mip, cam_xy, cam_sc, scale, bg_color,
+                                        sq, qz, qc, stt, tz, tc, qm, tm)
+        return jnp.sum(img)
+
+    tails = {'gen': tail_gen, 'gen_nowarp': tail_gen_nowarp,
+             'sort_only': tail_sort_only, 'old': tail_old,
+             'sortmask': tail_sortmask, 'banded': tail_banded,
+             'fused': tail_fused}
     which = sys.argv[1:] or list(tails)
 
     for name in which:
@@ -103,11 +129,13 @@ def main():
         def run(st):
             return jax.lax.scan(body, st, None, length=STEPS)
 
+        from torchdrivesim_tpu.benchmark import sync_pin
+        sync_pin()
         out = run(all_state)
         jax.tree.map(lambda x: x.block_until_ready(), out)
         t0 = time.perf_counter()
         out = run(all_state)
-        jax.tree.map(lambda x: x.block_until_ready(), out)
+        float(jnp.sum(out[1]))     # value fetch: true barrier on the tunnel
         dt = (time.perf_counter() - t0) / STEPS * 1000
         print(f"{name}: {dt:.3f} ms/step (B={B})", flush=True)
 
