@@ -94,3 +94,24 @@ def test_fused_no_prims_is_pure_background(interpret_mode):
         mip, cam_xy, cam_sc, scale, bg_color, sq, z8, c8, st, z8, c8,
         mask, mask)
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(bg))
+
+
+@pytest.mark.parametrize('b', [1, 5])
+def test_fused_camera_batching_padding(interpret_mode, b):
+    """Batch sizes that don't divide CAMS_PER_PROGRAM exercise the pad path."""
+    mip, cam_xy, cam_sc, quads, qz, qc, tris, tz, tc = _scene(11, b=b)
+    scale = 2.0 / 40.0
+    bg_color = jnp.asarray([0.3, 0.3, 0.3])
+    res = 128
+    n_bands = res * res // R.PIXELS_PER_TILE
+    sq, qz, qc = sort_prims_rowmajor(quads, qz, qc, res, 56)
+    st, tz, tc = sort_prims_rowmajor(tris, tz, tc, res, 56)
+    qmask = prim_band_chunk_masks(sq, res, n_bands)
+    tmask = prim_band_chunk_masks(st, res, n_bands)
+    bg = W.warp_background_pallas(mip, cam_xy, cam_sc, scale, bg_color)
+    ref = R.rasterize_hard_pallas_prims_banded(
+        sq, qz, qc, st, tz, tc, res, bg, qmask, tmask)
+    fused = F.render_prims_fused_pallas(
+        mip, cam_xy, cam_sc, scale, bg_color, sq, qz, qc, st, tz, tc,
+        qmask, tmask)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))

@@ -37,67 +37,82 @@ from torchdrivesim_tpu.ops.pallas_warp import (
     RES, WINDOW, start_window_dma, warp_coefficients, warp_view_packed,
 )
 
+#: cameras per fused program: the per-camera work is a few microseconds, so
+#: per-program fixed costs and DMA latency are worth amortizing (same
+#: reasoning as the standalone warp kernel's CAMS_PER_PROGRAM)
+CAMS_PER_PROGRAM = 4
+
 
 def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
                   tcoef_ref, tpk_ref, tex_ref, out_ref, win_ref, sem,
-                  best_ref, tmp_ref, *, res, qp, tp, chunk, n_bands):
-    """One camera per program: banded prim winners (flat tiles, chunk-masked
-    via ``@pl.when`` as in ``_raster_kernel_prims_masked``), then warp +
-    composite in the 2D layout."""
-    dma = start_window_dma(icoef_ref, 0, tex_ref, win_ref, sem)
+                  best_ref, tmp_ref, *, res, qp, tp, chunk, n_bands, cams):
+    """``cams`` cameras per program: banded prim winners (flat tiles,
+    chunk-masked via ``@pl.when`` as in ``_raster_kernel_prims_masked``),
+    then warp + composite in the 2D layout. All window DMAs start before
+    any camera's prim math so the copies hide behind compute; batching
+    cameras amortizes per-program fixed costs (scratch init, grid setup)."""
+    dmas = [start_window_dma(icoef_ref, c, tex_ref, win_ref.at[c], sem.at[c])
+            for c in range(cams)]
 
     sentinel = np.int32(0x7FFFFFFF)
-    best_ref[:, :] = jnp.full((n_bands, PIXELS_PER_TILE), sentinel, jnp.int32)
-
-    for j in range(n_bands):
-        base = j * PIXELS_PER_TILE
-        idx = jax.lax.broadcasted_iota(
-            jnp.int32, (1, PIXELS_PER_TILE), 1) + base
-        px = (idx // res).astype(jnp.float32) + 0.5
-        py = (idx % res).astype(jnp.float32) + 0.5
-
-        def affine(c, px=px, py=py):
-            return c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]
-
-        for ci, s in enumerate(range(0, qp, chunk)):
-            @pl.when(qm_ref[0, j, 0, ci] != 0)
-            def _(s=s, j=j, affine=affine):
-                g = jnp.maximum(jnp.abs(affine(qcoef_ref[0, 0, s:s + chunk])),
-                                jnp.abs(affine(qcoef_ref[0, 1, s:s + chunk])))
-                qv = jnp.where(g <= 0.5, qpk_ref[0, s:s + chunk], sentinel)
-                best_ref[j:j + 1, :] = jnp.minimum(
-                    best_ref[j:j + 1, :], jnp.min(qv, axis=0, keepdims=True))
-
-        for ci, s in enumerate(range(0, tp, chunk)):
-            @pl.when(tm_ref[0, j, 0, ci] != 0)
-            def _(s=s, j=j, affine=affine):
-                emin = jnp.minimum(
-                    jnp.minimum(affine(tcoef_ref[0, 0, s:s + chunk]),
-                                affine(tcoef_ref[0, 1, s:s + chunk])),
-                    affine(tcoef_ref[0, 2, s:s + chunk]))
-                tv = jnp.where(emin >= 0, tpk_ref[0, s:s + chunk], sentinel)
-                best_ref[j:j + 1, :] = jnp.minimum(
-                    best_ref[j:j + 1, :], jnp.min(tv, axis=0, keepdims=True))
-
-    # warp the texture window (DMA waited inside, after the index math)
-    bg2d = warp_view_packed(fcoef_ref, icoef_ref, 0, win_ref, dma,
-                            tmp_ref=tmp_ref)
-
-    # composite per band in the 2D layout; prim pack is rank<<24 | R<<16 |
-    # G<<8 | B, background pack is 0x00BBGGRR
     inv255 = 1.0 / 255.0
     rpb = PIXELS_PER_TILE // res                 # rows per band
-    for j in range(n_bands):
-        best = best_ref[j:j + 1, :].reshape(rpb, res)
-        covered = best < (127 << 24)             # valid ranks <= 126
-        bg = bg2d[j * rpb:(j + 1) * rpb, :]
-        lo, hi = j * rpb, (j + 1) * rpb
-        r = jnp.where(covered, (best >> 16) & 255, bg & 255)
-        g = jnp.where(covered, (best >> 8) & 255, (bg >> 8) & 255)
-        b = jnp.where(covered, best & 255, (bg >> 16) & 255)
-        out_ref[0, 0, lo:hi, :] = r.astype(jnp.float32) * inv255
-        out_ref[0, 1, lo:hi, :] = g.astype(jnp.float32) * inv255
-        out_ref[0, 2, lo:hi, :] = b.astype(jnp.float32) * inv255
+
+    for c in range(cams):
+        best_ref[:, :] = jnp.full((n_bands, PIXELS_PER_TILE), sentinel,
+                                  jnp.int32)
+        for j in range(n_bands):
+            base = j * PIXELS_PER_TILE
+            idx = jax.lax.broadcasted_iota(
+                jnp.int32, (1, PIXELS_PER_TILE), 1) + base
+            px = (idx // res).astype(jnp.float32) + 0.5
+            py = (idx % res).astype(jnp.float32) + 0.5
+
+            def affine(cf, px=px, py=py):
+                return cf[:, 0:1] * px + cf[:, 1:2] * py + cf[:, 2:3]
+
+            for ci, s in enumerate(range(0, qp, chunk)):
+                @pl.when(qm_ref[c, j, 0, ci] != 0)
+                def _(s=s, j=j, c=c, affine=affine):
+                    g = jnp.maximum(
+                        jnp.abs(affine(qcoef_ref[c, 0, s:s + chunk])),
+                        jnp.abs(affine(qcoef_ref[c, 1, s:s + chunk])))
+                    qv = jnp.where(g <= 0.5, qpk_ref[c, s:s + chunk],
+                                   sentinel)
+                    best_ref[j:j + 1, :] = jnp.minimum(
+                        best_ref[j:j + 1, :],
+                        jnp.min(qv, axis=0, keepdims=True))
+
+            for ci, s in enumerate(range(0, tp, chunk)):
+                @pl.when(tm_ref[c, j, 0, ci] != 0)
+                def _(s=s, j=j, c=c, affine=affine):
+                    emin = jnp.minimum(
+                        jnp.minimum(affine(tcoef_ref[c, 0, s:s + chunk]),
+                                    affine(tcoef_ref[c, 1, s:s + chunk])),
+                        affine(tcoef_ref[c, 2, s:s + chunk]))
+                    tv = jnp.where(emin >= 0, tpk_ref[c, s:s + chunk],
+                                   sentinel)
+                    best_ref[j:j + 1, :] = jnp.minimum(
+                        best_ref[j:j + 1, :],
+                        jnp.min(tv, axis=0, keepdims=True))
+
+        # warp the texture window (DMA waited inside, after the index math)
+        bg2d = warp_view_packed(fcoef_ref, icoef_ref, c, win_ref.at[c],
+                                dmas[c], tmp_ref=tmp_ref)
+
+        # composite per band in the 2D layout; prim pack is rank<<24 |
+        # R<<16 | G<<8 | B, background pack is 0x00BBGGRR
+        for j in range(n_bands):
+            best = best_ref[j:j + 1, :].reshape(rpb, res)
+            covered = best < (127 << 24)         # valid ranks <= 126
+            bg = bg2d[j * rpb:(j + 1) * rpb, :]
+            lo, hi = j * rpb, (j + 1) * rpb
+            r = jnp.where(covered, (best >> 16) & 255, bg & 255)
+            g = jnp.where(covered, (best >> 8) & 255, (bg >> 8) & 255)
+            b = jnp.where(covered, best & 255, (bg >> 16) & 255)
+            out_ref[c, 0, lo:hi, :] = r.astype(jnp.float32) * inv255
+            out_ref[c, 1, lo:hi, :] = g.astype(jnp.float32) * inv255
+            out_ref[c, 2, lo:hi, :] = b.astype(jnp.float32) * inv255
 
 
 def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
@@ -144,33 +159,43 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
     tmask = jnp.pad(tmask, ((0, 0), (0, 0), (0, 0),
                             (0, ct - tmask.shape[3])))
 
+    cams = min(CAMS_PER_PROGRAM, b)
+    b_pad = -(-b // cams) * cams
+    if b_pad != b:
+        pad = lambda a: jnp.concatenate(
+            [a, jnp.repeat(a[-1:], b_pad - b, axis=0)], axis=0)
+        fcoef, icoef, qmask, tmask, qcoef, qpk, tcoef, tpk = map(
+            pad, (fcoef, icoef, qmask, tmask, qcoef, qpk, tcoef, tpk))
+
     cam_idx = lambda i: (i, 0, 0, 0)
     cam_idx3 = lambda i: (i, 0, 0)
     out = pl.pallas_call(
         functools.partial(_fused_kernel, res=res, qp=qp, tp=tp, chunk=8,
-                          n_bands=n_bands),
-        grid=(b,),
+                          n_bands=n_bands, cams=cams),
+        grid=(b_pad // cams,),
         in_specs=[
-            pl.BlockSpec((1, 1, 14), cam_idx3, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 4), cam_idx3, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_bands, 1, cq), cam_idx,
+            pl.BlockSpec((cams, 1, 14), cam_idx3, memory_space=pltpu.SMEM),
+            pl.BlockSpec((cams, 1, 4), cam_idx3, memory_space=pltpu.SMEM),
+            pl.BlockSpec((cams, n_bands, 1, cq), cam_idx,
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_bands, 1, ct), cam_idx,
+            pl.BlockSpec((cams, n_bands, 1, ct), cam_idx,
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2, qp, 3), cam_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qp, 1), cam_idx3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, tp, 3), cam_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp, 1), cam_idx3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((cams, 2, qp, 3), cam_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((cams, qp, 1), cam_idx3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((cams, 3, tp, 3), cam_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((cams, tp, 1), cam_idx3, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 3, res, res), cam_idx,
+        out_specs=pl.BlockSpec((cams, 3, res, res), cam_idx,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 3, res, res), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, 3, res, res), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((WINDOW, WINDOW), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((cams, WINDOW, WINDOW), jnp.int32),
+            pltpu.SemaphoreType.DMA((cams,)),
             pltpu.VMEM((n_bands, PIXELS_PER_TILE), jnp.int32),
             pltpu.VMEM((WINDOW, RES), jnp.int32),
         ],
     )(fcoef, icoef, qmask, tmask, qcoef, qpk, tcoef, tpk, mip.data[..., 0])
+    if b_pad != b:
+        out = out[:b]
     return out
