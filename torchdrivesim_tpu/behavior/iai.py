@@ -37,6 +37,28 @@ def _require_client():
             "install it and set IAI_API_KEY.")
 
 
+def unpack_attributes(attributes) -> jnp.ndarray:
+    """API AgentAttributes -> (3,) tensor (ref: `behavior/iai.py:15-16`)."""
+    return jnp.asarray([attributes.length, attributes.width,
+                        attributes.rear_axis_offset])
+
+
+def agent_attributes_to_basic_agent_properties(agent_attributes) -> dict:
+    """(3,) attribute tensor -> properties dict (ref: `behavior/iai.py:18-23`)."""
+    return {
+        'length': agent_attributes[0],
+        'width': agent_attributes[1],
+        'rear_axis_offset': agent_attributes[2],
+    }
+
+
+def agent_properties_to_agent_attributes(agent_properties: dict) -> jnp.ndarray:
+    """Properties dict -> (3,) attribute tensor (ref: `behavior/iai.py:25-26`)."""
+    return jnp.asarray([agent_properties['length'], agent_properties['width'],
+                        agent_properties['rear_axis_offset']],
+                       dtype=jnp.float32)
+
+
 def iai_initialize(location: str, agent_count: int,
                    center: Tuple[float, float] = (0, 0),
                    traffic_light_state_history: Optional[list] = None

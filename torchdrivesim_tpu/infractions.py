@@ -30,6 +30,30 @@ from torchdrivesim_tpu.ops.collision import (
 from torchdrivesim_tpu.ops.point_mesh import point_to_triangles_distance_sq_chunked
 from torchdrivesim_tpu.utils import normalize_angle
 
+
+
+def rectangle_vertices(cx, cy, w, h, angle):
+    """
+    Corners of rotated rectangles from center, size and yaw
+    (ref: `infractions.py:477-500`, same corner order). Works on numpy or
+    jax inputs of shape (B, 1) each; returns (B, 4, 2).
+    """
+    xp = np if all(isinstance(a, np.ndarray) for a in (cx, cy, w, h, angle)) \
+        else jnp
+    dx = w / 2
+    dy = h / 2
+    dxcos = dx * xp.cos(angle)
+    dxsin = dx * xp.sin(angle)
+    dycos = dy * xp.cos(angle)
+    dysin = dy * xp.sin(angle)
+    center = xp.concatenate([cx, cy], axis=-1)
+    return xp.stack([
+        center + xp.concatenate([-dxcos + dysin, -dxsin - dycos], axis=-1),
+        center + xp.concatenate([dxcos + dysin, dxsin - dycos], axis=-1),
+        center + xp.concatenate([dxcos - dysin, dxsin + dycos], axis=-1),
+        center + xp.concatenate([-dxcos - dysin, -dxsin + dycos], axis=-1),
+    ], axis=1)
+
 LANELET_TAGS_TO_EXCLUDE = ['parking']
 
 

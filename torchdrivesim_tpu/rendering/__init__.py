@@ -5,8 +5,9 @@ the config subclass (or its ``backend`` string) selects the implementation.
 from typing import Optional, Union
 
 from torchdrivesim_tpu.rendering.base import (
-    BirdviewRenderer, Cameras, DummyRenderer, DummyRendererConfig,
-    JaxRendererConfig, RendererConfig, get_default_color_map,
+    BirdviewRenderer, Cameras, CV2RendererConfig, DummyRenderer,
+    DummyRendererConfig, JaxRendererConfig, NvdiffrastRendererConfig,
+    Pytorch3DRendererConfig, RendererConfig, get_default_color_map,
     get_default_rendering_levels,
 )
 from torchdrivesim_tpu.rendering.jax_renderer import JaxRenderer
@@ -15,6 +16,12 @@ _BACKENDS = {
     'default': (JaxRendererConfig, JaxRenderer),
     'jax': (JaxRendererConfig, JaxRenderer),
     'dummy': (DummyRendererConfig, DummyRenderer),
+    # migration shims: the reference's backend zoo collapses into the XLA
+    # rasterizer (`rendering/{cv2,pytorch3d,nvdiffrast}.py`); their config
+    # classes remain accepted so reference configs work unchanged
+    'cv2': (JaxRendererConfig, JaxRenderer),
+    'pytorch3d': (JaxRendererConfig, JaxRenderer),
+    'nvdiffrast': (JaxRendererConfig, JaxRenderer),
 }
 
 
@@ -36,13 +43,22 @@ def renderer_from_config(cfg: Union[RendererConfig, dict],
         # lift a base config into the backend's config type
         common = {k: getattr(cfg, k) for k in RendererConfig.__dataclass_fields__
                   if k != 'backend'}
-        cfg = cfg_cls(**common)
+        lifted = cfg_cls(**common)
+        # reference pytorch3d configs default to soft (differentiable)
+        # blending (`rendering/pytorch3d.py:43`)
+        if (isinstance(cfg, Pytorch3DRendererConfig)
+                and isinstance(lifted, JaxRendererConfig)):
+            blend = getattr(cfg.differentiable_rendering, 'value',
+                            cfg.differentiable_rendering)
+            lifted.differentiable = str(blend) == 'soft'
+        cfg = lifted
     return renderer_cls(cfg, **kwargs)
 
 
 __all__ = [
-    'BirdviewRenderer', 'Cameras', 'DummyRenderer', 'DummyRendererConfig',
-    'JaxRenderer', 'JaxRendererConfig', 'RendererConfig',
+    'BirdviewRenderer', 'Cameras', 'CV2RendererConfig', 'DummyRenderer',
+    'DummyRendererConfig', 'JaxRenderer', 'JaxRendererConfig',
+    'NvdiffrastRendererConfig', 'Pytorch3DRendererConfig', 'RendererConfig',
     'get_default_color_map', 'get_default_rendering_levels',
     'renderer_from_config',
 ]

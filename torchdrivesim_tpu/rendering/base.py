@@ -43,6 +43,44 @@ class DummyRendererConfig(RendererConfig):
 
 
 @dataclass
+class CV2RendererConfig(RendererConfig):
+    """
+    Migration shim for the reference's OpenCV backend
+    (`rendering/cv2.py:13-15`): accepted everywhere a config is, renders
+    via the XLA rasterizer. ``trim_mesh_before_rendering`` is accepted and
+    ignored (the XLA path culls per camera instead).
+    """
+    backend: str = 'cv2'
+    trim_mesh_before_rendering: bool = True
+
+
+@dataclass
+class Pytorch3DRendererConfig(RendererConfig):
+    """
+    Migration shim for the reference's pytorch3d backend
+    (`rendering/pytorch3d.py:38-43`): maps to the XLA rasterizer with
+    differentiable (soft) blending enabled when ``differentiable_rendering``
+    is 'soft' (the reference default).
+    """
+    backend: str = 'pytorch3d'
+    differentiable_rendering: str = 'soft'     #: 'soft' or 'hard'
+
+
+@dataclass
+class NvdiffrastRendererConfig(RendererConfig):
+    """
+    Migration shim for the reference's nvdiffrast backend
+    (`rendering/nvdiffrast.py:58-65`): maps to the XLA rasterizer;
+    ``antialias`` / ``opengl`` / ``max_minibatch_size`` are accepted and
+    ignored (XLA pre-compiles per shape, so there is nothing to pre-allocate).
+    """
+    backend: str = 'nvdiffrast'
+    antialias: bool = False
+    opengl: bool = False
+    max_minibatch_size: Optional[int] = None
+
+
+@dataclass
 class JaxRendererConfig(RendererConfig):
     """For the XLA rasterizer backend."""
     backend: str = 'jax'

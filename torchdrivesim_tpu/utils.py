@@ -79,6 +79,15 @@ def transform(points: jnp.ndarray, pose: jnp.ndarray) -> jnp.ndarray:
     return rotate(points, psi) + xy
 
 
+def isin(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """
+    Whether each element of ``x`` is contained in 1-D ``y``
+    (ref: `utils.py:15-28`; kept for API parity with the reference, which
+    carries it for old torch versions).
+    """
+    return jnp.isin(x, y)
+
+
 def is_inside_polygon(point: jnp.ndarray, polygon: jnp.ndarray) -> jnp.ndarray:
     """
     Check whether points lie inside a convex polygon (ref: `utils.py:99`).
