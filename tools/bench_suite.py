@@ -30,15 +30,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed_steps(rollout_fn, state, n_warm=1, n_timed=3):
+def timed_steps(rollout_fn, state, n_warm=4, n_timed=3):
     # pin the tunneled client's synchronous dispatch mode and end the timed
     # region with a value fetch: async-mode completion signals are
     # unreliable (see benchmark.run_benchmark)
     from torchdrivesim_tpu.benchmark import sync_pin
     sync_pin()
+    # several warmup dispatches ending in a VALUE FETCH: early executions
+    # of a fresh executable run ~5x slower on the tunneled client until an
+    # output value has actually been fetched (block_until_ready does not
+    # trigger whatever lazy initialization the fetch does)
     for _ in range(n_warm):
         state, checksum = rollout_fn(state)
-        checksum.block_until_ready()
+        float(jnp.sum(checksum))
     t0 = time.perf_counter()
     for _ in range(n_timed):
         state, checksum = rollout_fn(state)
@@ -130,7 +134,7 @@ def config3_heterogeneous():
     ids = rng.choice([K.BICYCLE, K.SIMPLE, K.BICYCLE_NO_REVERSING],
                      size=(64, 20), p=[0.6, 0.2, 0.2])
     compound = K.CompoundKinematicModel(
-        model_assignments=jnp.asarray(ids), params=sim.kinematic_model.params)
+        model_assignments=ids.astype(np.int32), params=sim.kinematic_model.params)
     compound.set_state(sim.kinematic_model.get_state())
     sim.kinematic_model = compound
     step = sc.make_step_fn(render=True, metrics=True)
@@ -243,16 +247,51 @@ def config5_rl_1024_envs():
             'env_steps_per_sec': round(b * 16 * 3 / dt, 1)}
 
 
-def main():
+CONFIGS = {
+    'config1': config1_simulate,
+    'config2': config2_infractions,
+    'config3': config3_heterogeneous,
+    'config4': config4_il_gradients,
+    'config5': config5_rl_1024_envs,
+}
+
+
+def main(argv=None):
+    import subprocess
+    argv = sys.argv[1:] if argv is None else argv
+    if argv:
+        # run the named configs in-process
+        results = []
+        for name in argv:
+            fn = CONFIGS[name]
+            try:
+                r = fn()
+            except Exception as e:  # keep the suite going
+                r = {'config': fn.__name__, 'error': str(e)[:200]}
+            print(json.dumps(r), flush=True)
+            results.append(r)
+        return results
+    # no args: one SUBPROCESS per config. Sequential in-process runs are
+    # unreliable on the tunneled TPU client -- accumulated executables and
+    # fetches degrade later configs' dispatch pipelining by up to 5x
+    # (measured: the config-3 graph runs at 158k env-steps/s in a fresh
+    # process and 24k after configs 1-2 ran in the same process)
     results = []
-    for fn in [config1_simulate, config2_infractions, config3_heterogeneous,
-               config4_il_gradients, config5_rl_1024_envs]:
-        try:
-            r = fn()
-        except Exception as e:  # keep the suite going
-            r = {'config': fn.__name__, 'error': str(e)[:200]}
-        print(json.dumps(r), flush=True)
-        results.append(r)
+    for name in CONFIGS:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), name],
+            capture_output=True, text=True, timeout=3600)
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith('{'):
+                print(line, flush=True)
+                results.append(json.loads(line))
+        if proc.returncode != 0 and not any(
+                r.get('config', '').startswith(name) for r in results):
+            err = (proc.stderr or '')[-300:]
+            r = {'config': name, 'error': err}
+            print(json.dumps(r), flush=True)
+            results.append(r)
     return results
 
 

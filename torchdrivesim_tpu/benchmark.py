@@ -256,7 +256,7 @@ def sync_pin():
 
 
 def run_benchmark(scenario: BenchmarkScenario, steps_per_chunk: int = 50,
-                  n_chunks: int = 4, warmup_chunks: int = 1) -> dict:
+                  n_chunks: int = 4, warmup_chunks: int = 3) -> dict:
     """Time the jitted scan; returns steps/sec stats."""
     sim = scenario.sim
     step = scenario.make_step_fn(render=True, metrics=True)
@@ -288,7 +288,10 @@ def run_benchmark(scenario: BenchmarkScenario, steps_per_chunk: int = 50,
     state = sim.state
     for _ in range(warmup_chunks):
         state, checksum = rollout_chunk(state)
-        checksum.block_until_ready()
+        # warmup must end in a VALUE FETCH: early executions of a freshly
+        # compiled executable run ~5x slower until an output value has been
+        # fetched (block_until_ready does not trigger that lazy init)
+        float(checksum)
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         state, checksum = rollout_chunk(state)
