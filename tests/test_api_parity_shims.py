@@ -67,3 +67,73 @@ def test_rectangle_vertices_reference_formula():
     # jax inputs give jax outputs
     out = rectangle_vertices(*map(jnp.asarray, (cx, cy, w, h, a)))
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_assert_pytorch3d_available_is_noop():
+    import torchdrivesim_tpu
+    torchdrivesim_tpu.assert_pytorch3d_available()   # must not raise
+
+
+def test_renderer_class_shims():
+    from torchdrivesim_tpu.rendering import (
+        CV2Renderer, JaxRenderer, JaxRendererConfig, NvdiffrastNotFound,
+        NvdiffrastRenderer, Pytorch3DNotFound, Pytorch3DRenderer,
+        RenderingBlend)
+    for cls in (CV2Renderer, Pytorch3DRenderer, NvdiffrastRenderer):
+        assert issubclass(cls, JaxRenderer)
+        r = cls(JaxRendererConfig())
+        assert hasattr(r, 'render_frame')
+    assert RenderingBlend('soft') is RenderingBlend.soft
+    assert issubclass(Pytorch3DNotFound, ImportError)
+    assert issubclass(NvdiffrastNotFound, ImportError)
+
+
+def test_point_to_mesh_distance_pt_matches_reference():
+    import os, sys
+    if not os.path.isdir('/root/reference/torchdrivesim'):
+        import pytest
+        pytest.skip('reference checkout not available')
+    import torch
+    # side effect: puts the reference on sys.path and stubs its optional
+    # module-scope imports (shapely, omegaconf, ...)
+    import tests.test_reference_parity  # noqa: F401
+    from torchdrivesim.infractions import point_to_mesh_distance_pt as ref_fn
+    from torchdrivesim_tpu.infractions import point_to_mesh_distance_pt
+
+    rng = np.random.RandomState(0)
+    points = np.concatenate(
+        [rng.uniform(-300, 300, (6, 2)), np.zeros((6, 1))],
+        axis=-1).astype(np.float32)
+    tris = np.concatenate(
+        [rng.uniform(-300, 300, (6, 10, 3, 2)), np.zeros((6, 10, 3, 1))],
+        axis=-1).astype(np.float32)
+    # put a couple of points clearly inside a triangle
+    tris[0, 0] = np.array([[-400, -400, 0], [400, -400, 0], [0, 400, 0]],
+                          np.float32)
+    ref = ref_fn(torch.tensor(points), torch.tensor(tris)).numpy()
+    ours = np.asarray(point_to_mesh_distance_pt(jnp.asarray(points),
+                                                jnp.asarray(tris)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-2)
+    # threshold semantics: values <= threshold become exactly zero
+    thr = float(np.median(ref)) + 1e-3
+    ref_t = ref_fn(torch.tensor(points), torch.tensor(tris),
+                   threshold=thr).numpy()
+    ours_t = np.asarray(point_to_mesh_distance_pt(
+        jnp.asarray(points), jnp.asarray(tris), threshold=thr))
+    np.testing.assert_array_equal(ours_t == 0, ref_t == 0)
+
+
+def test_get_all_intersections():
+    from torchdrivesim_tpu.infractions import get_all_intersections
+    # three boxes: 0 and 1 overlap, 2 far away
+    rects = np.array([
+        [0.0, 0.0, 4.0, 2.0, 0.0],
+        [1.0, 0.5, 4.0, 2.0, 0.5],
+        [100.0, 100.0, 4.0, 2.0, 1.0],
+    ], np.float32)
+    m = get_all_intersections(rects)
+    assert m.shape == (3, 3)
+    assert m[0, 1] == 1.0 and m[0, 2] == 0.0 and m[1, 2] == 0.0
+    assert np.all(np.tril(m) == 0), "upper triangular only"
+    ego = get_all_intersections(rects, ego_idx=0)
+    np.testing.assert_array_equal(ego, [1.0, 0.0])

@@ -23,6 +23,15 @@ if os.environ.get('TDS_PLATFORM'):
     import jax as _jax
     _jax.config.update('jax_platforms', os.environ['TDS_PLATFORM'])
 
+def assert_pytorch3d_available():
+    """
+    Reference-API shim (`torchdrivesim/__init__.py:12-16`): the reference
+    raises when its pytorch3d rasterizer is missing. Here the XLA rasterizer
+    is always available, so this never raises; kept so code written against
+    the reference imports and runs unchanged.
+    """
+
+
 if 'TDS_RESOURCE_PATH' in os.environ:
     _resource_path = [p for p in os.environ['TDS_RESOURCE_PATH'].split(':') if p]
 else:

@@ -222,3 +222,103 @@ def compute_collision_matrix(all_boxes: jnp.ndarray, mask: jnp.ndarray,
     overlap = jnp.where(eye, 0.0, overlap)
     overlap = overlap * mask[..., None, :].astype(overlap.dtype)
     return jnp.sum(overlap, axis=-1)
+
+
+# ----------------------------------------------------------------------------
+# Reference-shaped host/parity helpers
+# ----------------------------------------------------------------------------
+
+def point_to_mesh_distance_pt(points: jnp.ndarray, tris: jnp.ndarray,
+                              threshold: float = 0.0) -> jnp.ndarray:
+    """
+    3D squared point-to-mesh distance with the reference's exact shapes and
+    math (`infractions.py:86-173`): plane-projection distance inside a
+    (non-degenerate) face, min squared edge distance outside, min over
+    faces. Values <= ``threshold`` are zeroed (torch ``F.threshold``
+    semantics). The framework's own offroad path is the specialized 2D op
+    `ops.point_mesh.point_to_triangles_distance_sq`; this wrapper exists for
+    code written against the reference signature.
+
+    Args:
+        points: (B, 3); tris: (B, F, 3, 3).
+    Returns:
+        (B, 1) squared distances.
+    """
+    p = points[:, None, :]                                   # (B, 1, 3)
+    v0, v1, v2 = tris[..., 0, :], tris[..., 1, :], tris[..., 2, :]
+    cross = jnp.cross(v2 - v0, v1 - v0)                      # (B, F, 3)
+    norm_normal = jnp.linalg.norm(cross, axis=-1, keepdims=True)
+    normal = cross / (norm_normal + 1e-8)
+    t = jnp.sum((v0 - p) * normal, axis=-1, keepdims=True)   # (B, F, 1)
+    p_proj = p + t * normal
+
+    def bary(q, a, b, c, eps=1e-8):
+        p0, p1, p2 = b - a, c - a, q - a
+        d00 = jnp.sum(p0 * p0, -1, keepdims=True)
+        d01 = jnp.sum(p0 * p1, -1, keepdims=True)
+        d11 = jnp.sum(p1 * p1, -1, keepdims=True)
+        d20 = jnp.sum(p2 * p0, -1, keepdims=True)
+        d21 = jnp.sum(p2 * p1, -1, keepdims=True)
+        denom = d00 * d11 - d01 * d01 + eps
+        w1 = (d11 * d20 - d01 * d21) / denom
+        w2 = (d00 * d21 - d01 * d20) / denom
+        return 1.0 - w1 - w2, w1, w2
+
+    w0, w1, w2 = bary(p_proj, v0, v1, v2)
+    inside = ((0.0 <= w0) & (w0 <= 1.0) & (0.0 <= w1) & (w1 <= 1.0)
+              & (0.0 <= w2) & (w2 <= 1.0))
+    area = norm_normal / 2.0
+    inside = inside & (area >= 5e-3)                        # min_triangle_area
+
+    def edge_d2(q, a, b):
+        ab = b - a
+        l2 = jnp.sum(ab * ab, -1, keepdims=True)
+        tt = jnp.clip(jnp.sum(ab * (q - a), -1, keepdims=True) / (l2 + 1e-8),
+                      0.0, 1.0)
+        proj = a + tt * ab
+        d2 = jnp.sum((q - proj) ** 2, -1, keepdims=True)
+        d2_end = jnp.sum((q - b) ** 2, -1, keepdims=True)
+        return jnp.where(l2 <= 1e-8, d2_end, d2)
+
+    dist = jnp.minimum(jnp.minimum(edge_d2(p, v0, v1), edge_d2(p, v0, v2)),
+                       edge_d2(p, v1, v2))
+    cond = inside & (norm_normal > 1e-8)
+    dist = jnp.where(cond, t * t, dist)
+    dist = jnp.min(dist, axis=-2)                           # (B, 1)
+    dist = jnp.nan_to_num(dist, nan=0.0)
+    return jnp.where(dist > threshold, dist, 0.0)
+
+
+def get_all_intersections(rects: np.ndarray,
+                          ego_idx: Optional[int] = None) -> np.ndarray:
+    """
+    Binary rectangle-intersection matrix, reference-shaped
+    (`infractions.py:429-474`): strictly-positive-area overlap of rotated
+    rectangles, exact. The reference builds shapely polygons in a Python
+    double loop (with an rtree index past 100 agents); here all pairs run
+    through the batched masked-shoelace pipeline in one shot — no spatial
+    index needed.
+
+    Args:
+        rects: (M, 5) x, y, length, width, yaw.
+        ego_idx: if given, only intersections against this rectangle.
+    Returns:
+        (M, M) float upper-triangular 0/1 matrix, or (M-1,) for ego mode.
+    """
+    from torchdrivesim_tpu.ops.box import oriented_box_intersection_area
+    rects = np.asarray(rects, dtype=np.float32)
+    m = len(rects)
+    corners = np.asarray(box2corners(jnp.asarray(rects)))    # (M, 4, 2)
+    if ego_idx is None:
+        c1 = jnp.asarray(corners)[:, None]                   # (M, 1, 4, 2)
+        c2 = jnp.asarray(corners)[None, :]                   # (1, M, 4, 2)
+        area = np.asarray(oriented_box_intersection_area(
+            jnp.broadcast_to(c1, (m, m, 4, 2)),
+            jnp.broadcast_to(c2, (m, m, 4, 2))))
+        hit = (area > 1e-9).astype(np.float64)
+        return np.triu(hit, k=1)
+    others = np.delete(corners, ego_idx, axis=0)             # (M-1, 4, 2)
+    ego = np.broadcast_to(corners[ego_idx], others.shape)
+    area = np.asarray(oriented_box_intersection_area(
+        jnp.asarray(ego), jnp.asarray(others)))
+    return (area > 1e-9).astype(np.float64)

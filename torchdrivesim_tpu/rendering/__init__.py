@@ -2,6 +2,7 @@
 Renderer registry and factory (mirrors `torchdrivesim/rendering/__init__.py`):
 the config subclass (or its ``backend`` string) selects the implementation.
 """
+import enum
 from typing import Optional, Union
 
 from torchdrivesim_tpu.rendering.base import (
@@ -55,10 +56,50 @@ def renderer_from_config(cfg: Union[RendererConfig, dict],
     return renderer_cls(cfg, **kwargs)
 
 
+class RenderingBlend(enum.Enum):
+    """
+    Blend-mode names of the reference's pytorch3d backend
+    (`rendering/pytorch3d.py:27-35`). 'hard' maps to hard coverage;
+    'soft' and 'sigmoid' both map to the differentiable soft rasterizer.
+    """
+    hard = 'hard'
+    soft = 'soft'
+    sigmoid = 'sigmoid'
+
+
+class Pytorch3DNotFound(ImportError):
+    """Kept for except-clause compatibility (`rendering/pytorch3d.py`);
+    never raised here — the XLA rasterizer is always available."""
+
+
+class NvdiffrastNotFound(ImportError):
+    """Kept for except-clause compatibility (`rendering/nvdiffrast.py`);
+    never raised here — the XLA rasterizer is always available."""
+
+
+class CV2Renderer(JaxRenderer):
+    """Migration shim for the reference's OpenCV renderer class
+    (`rendering/cv2.py:18`); renders via the XLA rasterizer."""
+
+
+class Pytorch3DRenderer(JaxRenderer):
+    """Migration shim for the reference's pytorch3d renderer class
+    (`rendering/pytorch3d.py:76`); renders via the XLA rasterizer. Pass a
+    `JaxRendererConfig(differentiable=True)` (or a `Pytorch3DRendererConfig`
+    through `renderer_from_config`) for the soft-blend behavior."""
+
+
+class NvdiffrastRenderer(JaxRenderer):
+    """Migration shim for the reference's nvdiffrast renderer class
+    (`rendering/nvdiffrast.py:68`); renders via the XLA rasterizer."""
+
+
 __all__ = [
-    'BirdviewRenderer', 'Cameras', 'CV2RendererConfig', 'DummyRenderer',
-    'DummyRendererConfig', 'JaxRenderer', 'JaxRendererConfig',
-    'NvdiffrastRendererConfig', 'Pytorch3DRendererConfig', 'RendererConfig',
+    'BirdviewRenderer', 'Cameras', 'CV2Renderer', 'CV2RendererConfig',
+    'DummyRenderer', 'DummyRendererConfig', 'JaxRenderer',
+    'JaxRendererConfig', 'NvdiffrastNotFound', 'NvdiffrastRenderer',
+    'NvdiffrastRendererConfig', 'Pytorch3DNotFound', 'Pytorch3DRenderer',
+    'Pytorch3DRendererConfig', 'RendererConfig', 'RenderingBlend',
     'get_default_color_map', 'get_default_rendering_levels',
     'renderer_from_config',
 ]
