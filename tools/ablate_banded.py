@@ -112,10 +112,33 @@ def main():
                                         sq, qz, qc, stt, tz, tc, qm, tm)
         return jnp.sum(img)
 
+    def tail_sortmask2(args):
+        from torchdrivesim_tpu.ops.rasterize import (
+            sort_prims_rowmajor_with_masks)
+        sq, qz, qc, stt, tz, tc, bg, *_ = args
+        sq, qz, qc, qm = sort_prims_rowmajor_with_masks(sq, qz, qc, RES, 56, 4)
+        stt, tz, tc, tm = sort_prims_rowmajor_with_masks(stt, tz, tc, RES, 56, 4)
+        return (jnp.sum(sq) + jnp.sum(stt) + jnp.sum(qc) + jnp.sum(tc)
+                + jnp.sum(qm) + jnp.sum(tm) + jnp.sum(bg))
+
+    def tail_fused2(args):
+        from torchdrivesim_tpu.ops.pallas_fused import render_prims_fused_pallas
+        from torchdrivesim_tpu.ops.rasterize import (
+            sort_prims_rowmajor_with_masks)
+        sq, qz, qc, stt, tz, tc, cam_xy, cam_sc, scale = (
+            args[0], args[1], args[2], args[3], args[4], args[5],
+            args[7], args[8], args[9])
+        sq, qz, qc, qm = sort_prims_rowmajor_with_masks(sq, qz, qc, RES, 56, 4)
+        stt, tz, tc, tm = sort_prims_rowmajor_with_masks(stt, tz, tc, RES, 56, 4)
+        img = render_prims_fused_pallas(mip, cam_xy, cam_sc, scale, bg_color,
+                                        sq, qz, qc, stt, tz, tc, qm, tm)
+        return jnp.sum(img)
+
     tails = {'gen': tail_gen, 'gen_nowarp': tail_gen_nowarp,
              'sort_only': tail_sort_only, 'old': tail_old,
              'sortmask': tail_sortmask, 'banded': tail_banded,
-             'fused': tail_fused}
+             'fused': tail_fused, 'sortmask2': tail_sortmask2,
+             'fused2': tail_fused2}
     which = sys.argv[1:] or list(tails)
 
     for name in which:
@@ -131,8 +154,11 @@ def main():
 
         from torchdrivesim_tpu.benchmark import sync_pin
         sync_pin()
-        out = run(all_state)
-        jax.tree.map(lambda x: x.block_until_ready(), out)
+        # warmup must end in a VALUE FETCH: fresh executables dispatch ~5x
+        # slow until one output has actually been fetched (see BENCH_NOTES)
+        for _ in range(3):
+            out = run(all_state)
+            float(jnp.sum(out[1]))
         t0 = time.perf_counter()
         out = run(all_state)
         float(jnp.sum(out[1]))     # value fetch: true barrier on the tunnel

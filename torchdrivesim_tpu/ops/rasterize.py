@@ -190,21 +190,23 @@ def _prim_screen_stats(corners: jnp.ndarray, res: int):
 
 
 def _sort_prim_arrays(key: jnp.ndarray, corners: jnp.ndarray, z: jnp.ndarray,
-                      color: jnp.ndarray):
+                      color: jnp.ndarray, extras: tuple = ()):
     """Reorder prims ascending by ``key`` along axis 1 with a multi-operand
     ``lax.sort`` -- a vectorized sorting network, NO gathers (XLA lowers
     ``take_along_axis`` to ~125M elem/s scalar loops on TPU; a per-band
-    compaction built on it measured +2 ms/step at batch 256)."""
+    compaction built on it measured +2 ms/step at batch 256). ``extras``
+    are additional (B, N) arrays carried through the same permutation."""
     b, n, k, _ = corners.shape
     comps = ([corners[:, :, i, j] for i in range(k) for j in range(2)]
-             + [z] + [color[..., i] for i in range(3)])
+             + [z] + [color[..., i] for i in range(3)] + list(extras))
     out = jax.lax.sort([key] + comps, dimension=1, num_keys=1)
     cs = out[1:1 + 2 * k]
     corners = jnp.stack([jnp.stack(cs[2 * i:2 * i + 2], axis=-1)
                          for i in range(k)], axis=2)
     z = out[1 + 2 * k]
-    color = jnp.stack(out[2 + 2 * k:], axis=-1)
-    return corners, z, color
+    color = jnp.stack(out[2 + 2 * k:2 + 2 * k + 3], axis=-1)
+    sorted_extras = tuple(out[5 + 2 * k:])
+    return (corners, z, color) + ((sorted_extras,) if extras else ())
 
 
 def sort_prims_rowmajor(corners: jnp.ndarray, z: jnp.ndarray,
@@ -244,6 +246,78 @@ def sort_prims_rowmajor(corners: jnp.ndarray, z: jnp.ndarray,
     live = rank < jnp.sum(alive, axis=1, keepdims=True)
     corners = jnp.where(live[..., None, None], corners, 0.0)
     return corners, z, color
+
+
+def sort_prims_rowmajor_with_masks(corners: jnp.ndarray, z: jnp.ndarray,
+                                   color: jnp.ndarray, res: int, cap: int,
+                                   n_bands: int, chunk: int = 8):
+    """
+    :func:`sort_prims_rowmajor` and :func:`prim_band_chunk_masks` in one
+    pass: the per-prim screen stats (top/bottom row, liveness) ride through
+    the multi-operand sort as extra operands, so the band-occupancy masks
+    come straight from the sorted stats instead of being recomputed from
+    the re-stacked sorted corner tensor (whose min/max-over-corners XLA
+    lowers with layout shuffles -- measured ~0.3 ms/step at batch 256,
+    ~5x the cost of the mask math itself).
+
+    Returns:
+        (corners (B, <=cap, K, 2), z, color, mask (B, n_bands, 1, n_chunks)).
+    """
+    b, n = z.shape
+    n_chunks = max(1, -(-min(n, cap) // chunk))
+    if n == 0:
+        return (corners, z, color,
+                jnp.zeros((b, n_bands, 1, n_chunks), jnp.int32))
+    big = jnp.float32(3e38)
+    rmin, rmax, alive = _prim_screen_stats(corners, res)
+    if n > cap:
+        center = jnp.mean(corners, axis=2)
+        d2 = jnp.sum((center - res / 2.0) ** 2, axis=-1)
+        corners, z, color, (rmin, rmax, alive_f) = _sort_prim_arrays(
+            jnp.where(alive, d2, big), corners, z, color,
+            extras=(rmin, rmax, alive.astype(jnp.float32)))
+        corners, z, color = corners[:, :cap], z[:, :cap], color[:, :cap]
+        rmin, rmax = rmin[:, :cap], rmax[:, :cap]
+        alive = alive_f[:, :cap] > 0.5
+    corners, z, color, (rmin, rmax, alive_f) = _sort_prim_arrays(
+        jnp.where(alive, rmin, big), corners, z, color,
+        extras=(rmin, rmax, alive.astype(jnp.float32)))
+    alive = alive_f > 0.5
+    keep_n = corners.shape[1]
+    rank = jnp.arange(keep_n)[None, :]
+    live = rank < jnp.sum(alive, axis=1, keepdims=True)
+    corners = jnp.where(live[..., None, None], corners, 0.0)
+
+    # Chunk-hull occupancy via a lane-shift reduction tree. The exact
+    # per-prim formulation ((B, J, N) hits -> reshape (B, J, C, 8) ->
+    # any over the trailing lanes) costs ~0.27 ms/step at batch 256 in
+    # cross-lane relayouts; a log2(chunk) min/max shift tree + strided
+    # slice computes each chunk's row-interval hull with lane-local ops.
+    # The hull is a conservative superset of the exact mask (a chunk whose
+    # prims straddle a band it doesn't touch gets evaluated and contributes
+    # nothing), so kernel output is unchanged.
+    pad = n_chunks * chunk - keep_n
+    lo_r = jnp.where(alive, rmin, 1e9)
+    hi_r = jnp.where(alive, rmax, -1e9)
+    if pad:
+        lo_r = jnp.pad(lo_r, ((0, 0), (0, pad)), constant_values=1e9)
+        hi_r = jnp.pad(hi_r, ((0, 0), (0, pad)), constant_values=-1e9)
+    off = 1
+    while off < chunk:
+        lo_r = jnp.minimum(
+            lo_r, jnp.pad(lo_r[:, off:], ((0, 0), (0, off)),
+                          constant_values=1e9))
+        hi_r = jnp.maximum(
+            hi_r, jnp.pad(hi_r[:, off:], ((0, 0), (0, off)),
+                          constant_values=-1e9))
+        off *= 2
+    chunk_lo = lo_r[:, ::chunk]                             # (B, C)
+    chunk_hi = hi_r[:, ::chunk]
+    band_h = res / n_bands
+    mask = jnp.stack(
+        [(chunk_hi >= j * band_h) & (chunk_lo < (j + 1) * band_h)
+         for j in range(n_bands)], axis=1)                  # (B, J, C)
+    return corners, z, color, mask.astype(jnp.int32)[:, :, None, :]
 
 
 def prim_band_chunk_masks(corners: jnp.ndarray, res: int, n_bands: int,

@@ -252,17 +252,19 @@ class JaxRenderer(BirdviewRenderer):
             from torchdrivesim_tpu.ops.pallas_rasterize import (
                 PIXELS_PER_TILE, rasterize_hard_pallas_prims_banded)
             from torchdrivesim_tpu.ops.rasterize import (
-                prim_band_chunk_masks, sort_prims_rowmajor)
+                sort_prims_rowmajor_with_masks)
             # band masking: prims sort row-major (visible first, gather-free
             # lax.sort) and each 32-row kernel tile skips whole 8-prim chunks
             # that cannot touch it -- per-pixel work tracks LOCAL density
-            # (typically a handful of prims) instead of the camera budget
+            # (typically a handful of prims) instead of the camera budget;
+            # the screen stats ride through the sort so the masks need no
+            # second pass over the corner tensor
             n_bands = (size * size) // PIXELS_PER_TILE
             cap = min(max(8, self.cfg.band_budget), 56)
-            sq, qz, qcolors = sort_prims_rowmajor(sq, qz, qcolors, size, cap)
-            st, tz, tcolors = sort_prims_rowmajor(st, tz, tcolors, size, cap)
-            qmask = prim_band_chunk_masks(sq, size, n_bands)
-            tmask = prim_band_chunk_masks(st, size, n_bands)
+            sq, qz, qcolors, qmask = sort_prims_rowmajor_with_masks(
+                sq, qz, qcolors, size, cap, n_bands)
+            st, tz, tcolors, tmask = sort_prims_rowmajor_with_masks(
+                st, tz, tcolors, size, cap, n_bands)
             if use_warp:
                 # fused kernel: warp + rasterize + composite in one program,
                 # no background HBM round trip (bit-exact vs the split path)

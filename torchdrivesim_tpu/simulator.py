@@ -52,7 +52,8 @@ from torchdrivesim_tpu.rendering import (
 )
 from torchdrivesim_tpu.scene_mesh import BirdviewRGBMeshGenerator
 from torchdrivesim_tpu.traffic_controls import BaseTrafficControl
-from torchdrivesim_tpu.utils import Resolution, assert_equal, is_inside_polygon, relative
+from torchdrivesim_tpu.utils import (
+    Resolution, assert_equal, is_inside_polygon, relative, time_slice)
 
 logger = logging.getLogger(__name__)
 
@@ -124,16 +125,8 @@ class SpawnController:
             inside = is_inside_polygon(npc_state[..., :2], self.exit_boundary)
             npc_present_mask = npc_present_mask & inside
         if self.spawn_states is not None and self.spawn_masks is not None:
-            t_max = self.spawn_masks.shape[-1]
-            t = jnp.clip(jnp.asarray(time), 0, t_max - 1)
-            mask_t = jnp.take_along_axis(
-                self.spawn_masks,
-                jnp.broadcast_to(t, self.spawn_masks.shape[:-1])[..., None],
-                axis=-1)[..., 0]
-            state_t = jnp.take_along_axis(
-                self.spawn_states,
-                jnp.broadcast_to(t, self.spawn_states.shape[:-2])[..., None, None],
-                axis=-2)[..., 0, :]
+            mask_t = time_slice(self.spawn_masks, time, axis=-1)
+            state_t = time_slice(self.spawn_states, time, axis=-2)
             to_spawn = mask_t & ~npc_present_mask
             npc_present_mask = npc_present_mask | to_spawn
             npc_state = jnp.where(to_spawn[..., None], state_t, npc_state)
@@ -294,14 +287,8 @@ class ReplayController(NPCController):
     def advance(self, npc_state, npc_present_mask, time, simulator=None):
         t_total = self.npc_states.shape[-2]
         t = jnp.mod(jnp.asarray(time) + self.start_time, t_total)
-        state = jnp.take_along_axis(
-            self.npc_states,
-            jnp.broadcast_to(t, self.npc_states.shape[:-2])[..., None, None],
-            axis=-2)[..., 0, :]
-        mask = jnp.take_along_axis(
-            self.npc_present_masks,
-            jnp.broadcast_to(t, self.npc_present_masks.shape[:-1])[..., None],
-            axis=-1)[..., 0]
+        state = time_slice(self.npc_states, t, axis=-2)
+        mask = time_slice(self.npc_present_masks, t, axis=-1)
         return self.spawn_controller.apply(state, mask, time)
 
     def copy(self):

@@ -60,9 +60,8 @@ def replay_or_hold_state(state: jnp.ndarray, replay_states: jnp.ndarray,
     total = replay_states.shape[-1]
     if total == 0:
         return state
-    t = jnp.clip(jnp.asarray(time), 0, total - 1)
-    replayed = jnp.take_along_axis(
-        replay_states, jnp.broadcast_to(t, state.shape)[..., None], axis=-1)[..., 0]
+    from torchdrivesim_tpu.utils import time_slice
+    replayed = time_slice(replay_states, time, axis=-1)
     return jnp.where(jnp.asarray(time) < total, replayed, state)
 
 

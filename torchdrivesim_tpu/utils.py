@@ -79,6 +79,18 @@ def transform(points: jnp.ndarray, pose: jnp.ndarray) -> jnp.ndarray:
     return rotate(points, psi) + xy
 
 
+def time_slice(arr: jnp.ndarray, t, axis: int) -> jnp.ndarray:
+    """
+    Index a (replay) time axis by a possibly-traced scalar, clamped to
+    range, via ``lax.dynamic_index_in_dim``. ``take_along_axis`` with a
+    broadcast scalar index lowers to a per-element scalar gather loop on
+    TPU (~125M elem/s); a dynamic slice is a vectorized copy.
+    """
+    import jax
+    t = jnp.clip(jnp.asarray(t), 0, arr.shape[axis] - 1)
+    return jax.lax.dynamic_index_in_dim(arr, t, axis, keepdims=False)
+
+
 def isin(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """
     Whether each element of ``x`` is contained in 1-D ``y``
