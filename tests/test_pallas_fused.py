@@ -51,24 +51,24 @@ def _scene(seed, b=3, q=30, t=12):
     return mip, cam_xy, cam_sc, quads, qz, qc, tris, tz, tc
 
 
-@pytest.mark.parametrize('seed', [0, 7])
-def test_fused_matches_split_pipeline(interpret_mode, seed):
+@pytest.mark.parametrize('seed,res', [(0, 128), (7, 128), (0, 64), (7, 64)])
+def test_fused_matches_split_pipeline(interpret_mode, seed, res):
     mip, cam_xy, cam_sc, quads, qz, qc, tris, tz, tc = _scene(seed)
     scale = 2.0 / 40.0
     bg_color = jnp.asarray([0.1, 0.2, 0.3])
-    res = 128
     n_bands = res * res // R.PIXELS_PER_TILE
     sq, qz, qc = sort_prims_rowmajor(quads, qz, qc, res, 56)
     st, tz, tc = sort_prims_rowmajor(tris, tz, tc, res, 56)
     qmask = prim_band_chunk_masks(sq, res, n_bands)
     tmask = prim_band_chunk_masks(st, res, n_bands)
 
-    bg = W.warp_background_pallas(mip, cam_xy, cam_sc, scale, bg_color)
+    bg = W.warp_background_pallas(mip, cam_xy, cam_sc, scale, bg_color,
+                                  res=res)
     ref = R.rasterize_hard_pallas_prims_banded(
         sq, qz, qc, st, tz, tc, res, bg, qmask, tmask)
     fused = F.render_prims_fused_pallas(
         mip, cam_xy, cam_sc, scale, bg_color, sq, qz, qc, st, tz, tc,
-        qmask, tmask)
+        qmask, tmask, res=res)
 
     ref, fused, bg = np.asarray(ref), np.asarray(fused), np.asarray(bg)
     # the scene must actually cover pixels for the test to mean anything

@@ -90,6 +90,34 @@ def test_warp_matches_xla_sampler(psi_deg, left_handed):
     assert in_envelope > 0.999, f"envelope {in_envelope:.4f} at psi={psi_deg}"
 
 
+@pytest.mark.parametrize('psi_deg,left_handed', [
+    (0, False), (30, False), (135, False), (100, True),
+])
+def test_warp_res64_matches_xla_sampler(psi_deg, left_handed):
+    """The generalized kernel at res=64 (RL config) vs the direct sampler."""
+    tex = _checker_texture()
+    res = 64
+    levels = pw.build_mip_pyramid(tex)
+    mip = levels[0]  # same cell as the packed reference
+    packed = pack_texture_rgb8(tex)
+    fov = 80.0
+    scale = 2.0 / fov
+    psi = np.deg2rad(psi_deg)
+    cam_xy = jnp.asarray([[128.0, 130.0]])
+    cam_sc = jnp.asarray([[np.sin(psi), np.cos(psi)]], dtype=jnp.float32)
+    bg = jnp.asarray([0.25, 0.5, 0.75])
+
+    got = np.asarray(pw.warp_background_pallas(
+        mip, cam_xy, cam_sc, scale, bg, left_handed=left_handed, res=res))
+    assert got.shape == (1, 3, res, res)
+    want = np.asarray(sample_background_packed(
+        packed, cam_xy, cam_sc, scale, res, bg, left_handed=left_handed,
+        chw=True))
+    tol = 1 / 255.0 + 1e-6
+    agree = np.isclose(got, want, atol=tol).all(axis=1).mean()
+    assert agree > 0.85, f"exact agreement {agree:.3f} at psi={psi_deg}"
+
+
 def test_warp_off_texture_is_background():
     tex = _checker_texture(h=128, w=128, cell=1.0)
     mip = pw.build_mip_pyramid(tex)[0]

@@ -58,6 +58,17 @@ def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
     inv255 = 1.0 / 255.0
     rpb = PIXELS_PER_TILE // res                 # rows per band
 
+    if res != RES:
+        # res < 128: the (1, PIXELS) -> (rpb, res) relayout the flat path
+        # bridges with is unsupported by Mosaic for non-128 lane counts, so
+        # the prim winners resolve directly on 2D (rpb, res) tiles -- same
+        # broadcast-FMA structure, one extra leading chunk dim
+        _fused_cameras_2d(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref,
+                          qpk_ref, tcoef_ref, tpk_ref, out_ref, win_ref,
+                          best_ref, tmp_ref, dmas, res=res, qp=qp, tp=tp,
+                          chunk=chunk, n_bands=n_bands, cams=cams)
+        return
+
     for c in range(cams):
         best_ref[:, :] = jnp.full((n_bands, PIXELS_PER_TILE), sentinel,
                                   jnp.int32)
@@ -115,6 +126,81 @@ def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
             out_ref[c, 2, lo:hi, :] = b.astype(jnp.float32) * inv255
 
 
+def _fused_cameras_2d(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref,
+                      qpk_ref, tcoef_ref, tpk_ref, out_ref, win_ref,
+                      best_ref, tmp_ref, dmas, *, res, qp, tp, chunk,
+                      n_bands, cams):
+    """Per-camera winner resolution + composite for res < 128 outputs.
+
+    Identical winner semantics to the flat path, but the per-band affine
+    evaluation runs on 2D ``(rows_per_band, res)`` tiles driven by SMEM
+    scalar coefficients (the prim tensors are staged to SMEM for this path;
+    Mosaic has no lowering for the flat path's (chunk, 1) vector broadcast
+    in 3D), so ``best`` is born in the image layout and composites against
+    the warped background with no relayout. Costs half the vreg lanes at
+    res=64 -- still far cheaper than the per-pixel background gather it
+    replaces."""
+    sentinel = np.int32(0x7FFFFFFF)
+    inv255 = 1.0 / 255.0
+    rpb = PIXELS_PER_TILE // res                 # rows per band
+
+    for c in range(cams):
+        best_ref[:, :] = jnp.full((res, res), sentinel, jnp.int32)
+        for j in range(n_bands):
+            lo, hi = j * rpb, (j + 1) * rpb
+            px = jax.lax.broadcasted_iota(
+                jnp.int32, (rpb, res), 0).astype(jnp.float32) + (lo + 0.5)
+            py = jax.lax.broadcasted_iota(
+                jnp.int32, (rpb, res), 1).astype(jnp.float32) + 0.5
+
+            for ci, s in enumerate(range(0, qp, chunk)):
+                @pl.when(qm_ref[c, j, 0, ci] != 0)
+                def _(s=s, j=j, c=c, lo=lo, hi=hi, px=px, py=py):
+                    acc = best_ref[lo:hi, :]
+                    for p in range(s, s + chunk):
+                        e0 = (qcoef_ref[c, 0, p, 0] * px
+                              + qcoef_ref[c, 0, p, 1] * py
+                              + qcoef_ref[c, 0, p, 2])
+                        e1 = (qcoef_ref[c, 1, p, 0] * px
+                              + qcoef_ref[c, 1, p, 1] * py
+                              + qcoef_ref[c, 1, p, 2])
+                        g = jnp.maximum(jnp.abs(e0), jnp.abs(e1))
+                        acc = jnp.minimum(acc, jnp.where(
+                            g <= 0.5, qpk_ref[c, p, 0], sentinel))
+                    best_ref[lo:hi, :] = acc
+
+            for ci, s in enumerate(range(0, tp, chunk)):
+                @pl.when(tm_ref[c, j, 0, ci] != 0)
+                def _(s=s, j=j, c=c, lo=lo, hi=hi, px=px, py=py):
+                    acc = best_ref[lo:hi, :]
+                    for p in range(s, s + chunk):
+                        emin = jnp.minimum(
+                            jnp.minimum(
+                                tcoef_ref[c, 0, p, 0] * px
+                                + tcoef_ref[c, 0, p, 1] * py
+                                + tcoef_ref[c, 0, p, 2],
+                                tcoef_ref[c, 1, p, 0] * px
+                                + tcoef_ref[c, 1, p, 1] * py
+                                + tcoef_ref[c, 1, p, 2]),
+                            tcoef_ref[c, 2, p, 0] * px
+                            + tcoef_ref[c, 2, p, 1] * py
+                            + tcoef_ref[c, 2, p, 2])
+                        acc = jnp.minimum(acc, jnp.where(
+                            emin >= 0, tpk_ref[c, p, 0], sentinel))
+                    best_ref[lo:hi, :] = acc
+
+        bg2d = warp_view_packed(fcoef_ref, icoef_ref, c, win_ref.at[c],
+                                dmas[c], tmp_ref=tmp_ref)[:res, :res]
+        best = best_ref[:, :]
+        covered = best < (127 << 24)             # valid ranks <= 126
+        r = jnp.where(covered, (best >> 16) & 255, bg2d & 255)
+        g = jnp.where(covered, (best >> 8) & 255, (bg2d >> 8) & 255)
+        b = jnp.where(covered, best & 255, (bg2d >> 16) & 255)
+        out_ref[c, 0] = r.astype(jnp.float32) * inv255
+        out_ref[c, 1] = g.astype(jnp.float32) * inv255
+        out_ref[c, 2] = b.astype(jnp.float32) * inv255
+
+
 def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
                               cam_sc: jnp.ndarray, scale: float,
                               background_color: jnp.ndarray,
@@ -138,18 +224,21 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
         background_color: (3,) in [0, 1] for off-map pixels.
         quads / tris: (B, Q, 4, 2) / (B, T, 3, 2) SCREEN-space corners.
         qmask / tmask: (B, J, 1, ceil(Q/8)) / (B, J, 1, ceil(T/8)) int32.
+        res: output resolution; res*res must divide into PIXELS_PER_TILE
+            bands and res <= 128 (64 and 128 in practice).
     Returns:
-        (B, 3, 128, 128) float image in [0, 1].
+        (B, 3, res, res) float image in [0, 1].
     """
-    assert res == RES, "the fused kernel is specialized to 128x128 output"
+    assert res <= RES, "the 256-texel window only covers views up to 128 px"
     b = cam_xy.shape[0]
     n_pixels = res * res
+    assert n_pixels % PIXELS_PER_TILE == 0, res
     n_bands = n_pixels // PIXELS_PER_TILE
     assert qmask.shape[:2] == (b, n_bands), qmask.shape
     assert tmask.shape[:2] == (b, n_bands), tmask.shape
 
     fcoef, icoef = warp_coefficients(mip, cam_xy, cam_sc, scale,
-                                     background_color, left_handed)
+                                     background_color, left_handed, res=res)
     qcoef, qpk, tcoef, tpk = _prep_prims(quads, qz, qcolors, tris, tz,
                                          tcolors)
     qp, tp = qpk.shape[1], tpk.shape[1]
@@ -169,6 +258,9 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
 
     cam_idx = lambda i: (i, 0, 0, 0)
     cam_idx3 = lambda i: (i, 0, 0)
+    # the flat path reads prim coefficients as (chunk, PIXELS) vector
+    # broadcasts (VMEM); the 2D path reads them as per-prim scalars (SMEM)
+    prim_space = pltpu.VMEM if res == RES else pltpu.SMEM
     out = pl.pallas_call(
         functools.partial(_fused_kernel, res=res, qp=qp, tp=tp, chunk=8,
                           n_bands=n_bands, cams=cams),
@@ -180,10 +272,10 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((cams, n_bands, 1, ct), cam_idx,
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((cams, 2, qp, 3), cam_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((cams, qp, 1), cam_idx3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((cams, 3, tp, 3), cam_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((cams, tp, 1), cam_idx3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((cams, 2, qp, 3), cam_idx, memory_space=prim_space),
+            pl.BlockSpec((cams, qp, 1), cam_idx3, memory_space=prim_space),
+            pl.BlockSpec((cams, 3, tp, 3), cam_idx, memory_space=prim_space),
+            pl.BlockSpec((cams, tp, 1), cam_idx3, memory_space=prim_space),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((cams, 3, res, res), cam_idx,
@@ -192,7 +284,8 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((cams, WINDOW, WINDOW), jnp.int32),
             pltpu.SemaphoreType.DMA((cams,)),
-            pltpu.VMEM((n_bands, PIXELS_PER_TILE), jnp.int32),
+            pltpu.VMEM((n_bands, PIXELS_PER_TILE), jnp.int32) if res == RES
+            else pltpu.VMEM((res, res), jnp.int32),
             pltpu.VMEM((WINDOW, RES), jnp.int32),
         ],
     )(fcoef, icoef, qmask, tmask, qcoef, qpk, tcoef, tpk, mip.data[..., 0])

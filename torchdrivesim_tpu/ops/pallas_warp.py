@@ -74,9 +74,9 @@ def build_mip_pyramid(texture: Grid2D, max_levels: int = 6):
     return levels
 
 
-def select_mip(levels, fov: float):
-    """Finest level whose 128-texel square covers the rotated view."""
-    needed = fov * 1.45 / RES
+def select_mip(levels, fov: float, res: int = RES):
+    """Finest level whose ``res``-texel square covers the rotated view."""
+    needed = fov * 1.45 / res
     for level in levels:
         if level.cell_size >= needed:
             return level
@@ -185,7 +185,7 @@ def start_window_dma(icoef_ref, c, tex_ref, win_ref, sem):
 
 
 def _warp_kernel(fcoef_ref, icoef_ref, tex_ref, out_ref, win_ref, sem,
-                 tmp_ref, *, cams):
+                 tmp_ref, *, cams, res=RES):
     # start ALL window DMAs up front so the copies overlap camera compute
     dmas = [start_window_dma(icoef_ref, c, tex_ref, win_ref.at[c], sem.at[c])
             for c in range(cams)]
@@ -193,6 +193,10 @@ def _warp_kernel(fcoef_ref, icoef_ref, tex_ref, out_ref, win_ref, sem,
     for c in range(cams):
         packed = warp_view_packed(fcoef_ref, icoef_ref, c, win_ref.at[c],
                                   dmas[c], tmp_ref=tmp_ref)
+        if res != RES:
+            # the warp always computes a full 128-lane view; smaller outputs
+            # take the top-left block (coefficients map pixels < res)
+            packed = packed[:res, :res]
         inv255 = 1.0 / 255.0
         out_ref[c, 0] = (packed & 0xFF).astype(jnp.float32) * inv255
         out_ref[c, 1] = ((packed >> 8) & 0xFF).astype(jnp.float32) * inv255
@@ -201,7 +205,7 @@ def _warp_kernel(fcoef_ref, icoef_ref, tex_ref, out_ref, win_ref, sem,
 
 def warp_coefficients(mip: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray,
                       scale: float, background_color: jnp.ndarray,
-                      left_handed: bool = False):
+                      left_handed: bool = False, res: int = RES):
     """
     Per-camera affine coefficients for the two-pass warp kernel.
 
@@ -212,7 +216,7 @@ def warp_coefficients(mip: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray,
         origin, the transpose flag, and the packed background color.
     """
     b = cam_xy.shape[0]
-    res = RES
+    assert res <= RES, "the 256-texel window only covers views up to 128 px"
     half = res / 2.0
     ppm = scale * half                      # output pixels per meter
     cell = float(mip.cell_size)
@@ -296,22 +300,24 @@ def warp_coefficients(mip: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray,
 
 def warp_background_pallas(mip: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray,
                            scale: float, background_color: jnp.ndarray,
-                           left_handed: bool = False) -> jnp.ndarray:
+                           left_handed: bool = False,
+                           res: int = RES) -> jnp.ndarray:
     """
     Per-camera background views via the two-pass affine warp kernel.
 
     Args:
         mip: packed int32 texture level (see :func:`build_mip_pyramid`);
-            ``mip.cell_size`` must be >= fov * 1.45 / 128.
+            ``mip.cell_size`` must be >= fov * 1.45 / res.
         cam_xy: (B, 2); cam_sc: (B, 2) (sin, cos); scale: 2 / fov.
         background_color: (3,) in [0, 1] for off-map pixels.
+        res: output resolution, <= 128 (the kernel computes a full 128-lane
+            view and slices; the window always covers it).
     Returns:
-        (B, 3, 128, 128) float image in [0, 1].
+        (B, 3, res, res) float image in [0, 1].
     """
     b = cam_xy.shape[0]
-    res = RES
     fcoef, icoef = warp_coefficients(mip, cam_xy, cam_sc, scale,
-                                     background_color, left_handed)
+                                     background_color, left_handed, res=res)
 
     cams = min(CAMS_PER_PROGRAM, b)
     b_pad = -(-b // cams) * cams
@@ -321,7 +327,7 @@ def warp_background_pallas(mip: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray
         icoef = jnp.pad(icoef, pad, mode='edge')
 
     out = pl.pallas_call(
-        functools.partial(_warp_kernel, cams=cams),
+        functools.partial(_warp_kernel, cams=cams, res=res),
         grid=(b_pad // cams,),
         in_specs=[
             pl.BlockSpec((cams, 1, 14), lambda i: (i, 0, 0),

@@ -80,6 +80,20 @@ class JaxRenderer(BirdviewRenderer):
             return False
         return _on_tpu()
 
+    def _warp_mip(self, scale: float, size: int):
+        """The mip level for the warp kernels, or None when the warp path
+        can't serve this camera (resolution without a whole number of
+        4096-pixel bands, or a view too wide for the coarsest mip)."""
+        pyramid = getattr(self, '_mip_pyramid', None)
+        if pyramid is None or size > 128 or (size * size) % 4096 != 0:
+            return None
+        from torchdrivesim_tpu.ops.pallas_warp import select_mip
+        fov = 2.0 / scale
+        mip = select_mip(pyramid, fov=fov, res=size)
+        if mip.cell_size < fov * 1.45 / size:
+            return None   # coarsest level still can't cover the rotated view
+        return mip
+
     def render_rgb_mesh_chw(self, mesh: RGBMesh, res: Resolution,
                             cameras: Cameras,
                             background_texture: Optional[Grid2D] = None
@@ -99,15 +113,13 @@ class JaxRenderer(BirdviewRenderer):
                          and background_texture is None)
 
         # background, in the layout the chosen rasterizer wants
-        use_warp = (fast_sampling and use_pallas and size == 128
-                    and getattr(self, '_mip_pyramid', None) is not None)
-        if use_warp:
-            from torchdrivesim_tpu.ops.pallas_warp import (
-                select_mip, warp_background_pallas)
-            mip = select_mip(self._mip_pyramid, fov=2.0 / scale)
+        mip = self._warp_mip(scale, size) \
+            if fast_sampling and use_pallas else None
+        if mip is not None:
+            from torchdrivesim_tpu.ops.pallas_warp import warp_background_pallas
             background = warp_background_pallas(
                 mip, cam_xy, cam_sc, scale, bg_color,
-                left_handed=self.cfg.left_handed_coordinates)
+                left_handed=self.cfg.left_handed_coordinates, res=size)
         elif texture is not None:
             if fast_sampling:
                 background = sample_background_packed(
@@ -171,14 +183,12 @@ class JaxRenderer(BirdviewRenderer):
         cam_xy, cam_sc, scale = cameras.xy, cameras.sc, cameras.scale
         bg_color = jnp.asarray(self.get_color('background'), jnp.float32) / 255.0
         use_pallas = self._use_pallas(size)
-        if (use_pallas and size == 128
-                and getattr(self, '_mip_pyramid', None) is not None):
-            from torchdrivesim_tpu.ops.pallas_warp import (
-                select_mip, warp_background_pallas)
-            mip = select_mip(self._mip_pyramid, fov=2.0 / scale)
+        mip = self._warp_mip(scale, size) if use_pallas else None
+        if mip is not None:
+            from torchdrivesim_tpu.ops.pallas_warp import warp_background_pallas
             background = warp_background_pallas(
                 mip, cam_xy, cam_sc, scale, bg_color,
-                left_handed=self.cfg.left_handed_coordinates)
+                left_handed=self.cfg.left_handed_coordinates, res=size)
         elif self._packed_texture is not None:
             background = sample_background_packed(
                 self._packed_texture, cam_xy, cam_sc, scale, size, bg_color,
@@ -225,8 +235,8 @@ class JaxRenderer(BirdviewRenderer):
         cam_xy, cam_sc, scale = cameras.xy, cameras.sc, cameras.scale
         bg_color = jnp.asarray(self.get_color('background'), jnp.float32) / 255.0
         use_pallas = self._use_pallas(size)
-        use_warp = (use_pallas and size == 128
-                    and getattr(self, '_mip_pyramid', None) is not None)
+        mip = self._warp_mip(scale, size) if use_pallas else None
+        use_warp = mip is not None
         if use_warp:
             # background handled inside the fused warp+rasterize kernel below
             background = None
@@ -270,8 +280,6 @@ class JaxRenderer(BirdviewRenderer):
                 # no background HBM round trip (bit-exact vs the split path)
                 from torchdrivesim_tpu.ops.pallas_fused import (
                     render_prims_fused_pallas)
-                from torchdrivesim_tpu.ops.pallas_warp import select_mip
-                mip = select_mip(self._mip_pyramid, fov=2.0 / scale)
                 image = render_prims_fused_pallas(
                     mip, cam_xy, cam_sc, scale, bg_color, sq, qz, qcolors,
                     st, tz, tcolors, qmask, tmask, res=size, left_handed=lh)
