@@ -230,6 +230,50 @@ def test_sample_background_gradient_wrt_camera():
     np.testing.assert_allclose(float(g), float(fd), rtol=0.2)
 
 
+def test_sample_background_quad_matches_bilinear():
+    from torchdrivesim_tpu.ops.rasterize import (
+        pack_texture_rgb8_quad, sample_background_quad)
+    rng = np.random.RandomState(3)
+    # RGB8-representable texture so the quad pack is exact
+    data = rng.randint(0, 256, (40, 48, 3)).astype(np.float32) / 255.0
+    texture = Grid2D(data=jnp.asarray(data),
+                     origin=jnp.asarray([-10.0, -8.0]), cell_size=0.5)
+    quad = pack_texture_rgb8_quad(texture)
+    cam_xy = jnp.asarray([[2.0, 1.0], [-3.0, 0.5]])
+    ang = jnp.asarray([0.3, -1.1])
+    cam_sc = jnp.stack([jnp.sin(ang), jnp.cos(ang)], -1)
+    # fov small enough that every sampled quad is interior
+    ref = sample_background(texture, cam_xy, cam_sc, 2.0 / 8, 32,
+                            jnp.asarray([0.1, 0.2, 0.3]))
+    got = sample_background_quad(quad, cam_xy, cam_sc, 2.0 / 8, 32,
+                                 jnp.asarray([0.1, 0.2, 0.3]))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_sample_background_quad_gradient_matches_bilinear():
+    from torchdrivesim_tpu.ops.rasterize import (
+        pack_texture_rgb8_quad, sample_background_quad)
+    rng = np.random.RandomState(7)
+    data = rng.randint(0, 256, (64, 64, 3)).astype(np.float32) / 255.0
+    texture = Grid2D(data=jnp.asarray(data),
+                     origin=jnp.asarray([-16.0, -16.0]), cell_size=0.5)
+    quad = pack_texture_rgb8_quad(texture)
+
+    def make_f(sampler, tex):
+        def f(pose):
+            cam_xy = pose[:2][None]
+            cam_sc = jnp.stack([jnp.sin(pose[2]), jnp.cos(pose[2])])[None]
+            img = sampler(tex, cam_xy, cam_sc, 2.0 / 8, 16, jnp.zeros(3))
+            return jnp.mean(img * jnp.linspace(0, 1, 16)[None, :, None, None])
+        return f
+
+    pose = jnp.asarray([1.5, -0.7, 0.4])
+    g_ref = jax.grad(make_f(sample_background, texture))(pose)
+    g_quad = jax.grad(make_f(sample_background_quad, quad))(pose)
+    np.testing.assert_allclose(np.asarray(g_quad), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-7)
+
+
 # ---------------------------------------------------------------------------
 # Gradient certification through rendering (BASELINE config 4 contract):
 # full-vector central-difference gradchecks, then jax.grad through a 40-step

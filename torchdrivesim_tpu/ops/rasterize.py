@@ -722,6 +722,80 @@ def sample_background_packed(texture_packed: Grid2D, cam_xy: jnp.ndarray,
     return img
 
 
+def pack_texture_rgb8_quad(texture: Grid2D) -> Grid2D:
+    """
+    Repack a float RGB texture so DIFFERENTIABLE bilinear sampling needs one
+    4-channel gather per pixel instead of 12 scattered floats.
+
+    Cell (y, x) of the packed grid holds the whole 2x2 interpolation quad
+    {(y, x), (y, x+1), (y+1, x), (y+1, x+1)}, each corner as 0x00BBGGRR in
+    one int32 (channel order 00, 01, 10, 11). The gather's slice is
+    contiguous in the minor dimension, so its cost scales with points, not
+    taps — the same trick :func:`torchdrivesim_tpu.ops.grids.pack_bilinear_quad`
+    plays for the offroad distance field. Exact for textures baked from
+    RGB8 palettes (every bench map texture is).
+    """
+    xp = np if isinstance(texture.data, np.ndarray) else jnp
+    rgb = xp.clip(xp.asarray(texture.data), 0.0, 1.0)
+    q = xp.round(rgb * 255.0).astype(xp.uint32)
+    packed = q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)
+    ppad = xp.pad(packed, ((0, 1), (0, 1)))
+    h, w = packed.shape
+    data = xp.stack([ppad[:h, :w], ppad[:h, 1:w + 1],
+                     ppad[1:h + 1, :w], ppad[1:h + 1, 1:w + 1]],
+                    axis=-1).astype(xp.int32)
+    return Grid2D(data=data, origin=texture.origin,
+                  cell_size=texture.cell_size,
+                  valid_shape=texture.valid_shape)
+
+
+def sample_background_quad(quad_texture: Grid2D, cam_xy: jnp.ndarray,
+                           cam_sc: jnp.ndarray, scale: float, res: int,
+                           background_color: jnp.ndarray,
+                           left_handed: bool = False) -> jnp.ndarray:
+    """
+    Differentiable bilinear background sampling from a
+    :func:`pack_texture_rgb8_quad` grid: ONE int32x4 gather per output pixel.
+
+    Gradients w.r.t. the camera pose flow through the bilinear weights (the
+    gathered corner colors are constants), exactly as in
+    :func:`sample_background`; values match it bit-for-RGB8 except on the
+    outermost texel ring (a straddling quad reads the fill color whole),
+    which the bake margin keeps off-road.
+
+    Returns:
+        (B, res, res, 3) image.
+    """
+    world = _pixel_world_coords(cam_xy, cam_sc, scale, res, left_handed)
+    uv = (world - quad_texture.origin) / quad_texture.cell_size
+    x, y = uv[..., 0], uv[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0)[..., None]
+    ty = (y - y0)[..., None]
+    x0i = jax.lax.stop_gradient(x0).astype(jnp.int32)
+    y0i = jax.lax.stop_gradient(y0).astype(jnp.int32)
+    h, w = quad_texture.data.shape[0], quad_texture.data.shape[1]
+    valid = (x0i >= 0) & (x0i < w - 1) & (y0i >= 0) & (y0i < h - 1)
+    xi = jnp.clip(x0i, 0, w - 1)
+    yi = jnp.clip(y0i, 0, h - 1)
+    g = jnp.asarray(quad_texture.data)[yi, xi]            # (..., 4) int32
+
+    def unpack(p):
+        return jnp.stack([(p & 0xFF).astype(jnp.float32),
+                          ((p >> 8) & 0xFF).astype(jnp.float32),
+                          ((p >> 16) & 0xFF).astype(jnp.float32)],
+                         axis=-1) / 255.0
+
+    v00, v01 = unpack(g[..., 0]), unpack(g[..., 1])
+    v10, v11 = unpack(g[..., 2]), unpack(g[..., 3])
+    top = v00 * (1 - tx) + v01 * tx
+    bot = v10 * (1 - tx) + v11 * tx
+    img = top * (1 - ty) + bot * ty
+    bg = jnp.asarray(background_color, img.dtype)
+    return jnp.where(valid[..., None], img, bg)
+
+
 def _pixel_world_coords(cam_xy: jnp.ndarray, cam_sc: jnp.ndarray, scale: float,
                         res: int, left_handed: bool) -> jnp.ndarray:
     """World coordinates of every output pixel center (B, res, res, 2)."""

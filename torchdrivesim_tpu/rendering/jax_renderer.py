@@ -57,9 +57,12 @@ class JaxRenderer(BirdviewRenderer):
 
     @background_texture.setter
     def background_texture(self, texture: Optional[Grid2D]):
-        from torchdrivesim_tpu.ops.rasterize import pack_texture_rgb8
+        from torchdrivesim_tpu.ops.rasterize import (
+            pack_texture_rgb8, pack_texture_rgb8_quad)
         self._background_texture = texture
         self._packed_texture = pack_texture_rgb8(texture) \
+            if texture is not None else None
+        self._quad_texture = pack_texture_rgb8_quad(texture) \
             if texture is not None else None
         self._mip_pyramid = None
         if texture is not None and _on_tpu():
@@ -70,6 +73,7 @@ class JaxRenderer(BirdviewRenderer):
         other = super().copy()
         other._background_texture = self._background_texture
         other._packed_texture = self._packed_texture
+        other._quad_texture = getattr(self, '_quad_texture', None)
         other._mip_pyramid = getattr(self, '_mip_pyramid', None)
         return other
 
@@ -126,6 +130,15 @@ class JaxRenderer(BirdviewRenderer):
                     self._packed_texture, cam_xy, cam_sc, scale, size, bg_color,
                     left_handed=self.cfg.left_handed_coordinates,
                     downsample=self.cfg.background_downsample, chw=use_pallas)
+            elif (self.cfg.differentiable and background_texture is None
+                  and getattr(self, '_quad_texture', None) is not None):
+                # one 4-channel gather per pixel instead of 12 scattered
+                # floats; same bilinear weights, so pose gradients match
+                from torchdrivesim_tpu.ops.rasterize import \
+                    sample_background_quad
+                background = sample_background_quad(
+                    self._quad_texture, cam_xy, cam_sc, scale, size, bg_color,
+                    left_handed=self.cfg.left_handed_coordinates)
             else:
                 background = sample_background(
                     texture, cam_xy, cam_sc, scale, size, bg_color,
