@@ -197,16 +197,18 @@ def config4_il_gradients():
     from torchdrivesim_tpu.benchmark import sync_pin
     sync_pin()
     grad_fn = jax.jit(jax.grad(loss_fn))
-    g = grad_fn(params, sim.state)
-    jax.tree.map(lambda x: x.block_until_ready(), g)
-    t0 = time.perf_counter()
+    reps = 10
     for _ in range(3):
+        g = grad_fn(params, sim.state)
+        float(jax.tree.leaves(g)[0].sum())   # warmup must END IN A FETCH
+    t0 = time.perf_counter()
+    for _ in range(reps):
         g = grad_fn(params, sim.state)
     float(jax.tree.leaves(g)[0].sum())
     dt = time.perf_counter() - t0
     return {'config': 'il_40step_bptt_through_render_batch16',
-            'grad_rollouts_per_sec': round(3 / dt, 2),
-            'env_steps_per_sec': round(b * horizon * 3 / dt, 1)}
+            'grad_rollouts_per_sec': round(reps / dt, 2),
+            'env_steps_per_sec': round(b * horizon * reps / dt, 1)}
 
 
 def config5_rl_1024_envs():
@@ -234,14 +236,16 @@ def config5_rl_1024_envs():
         (s, k), acc = jax.lax.scan(body, (state, key), None, length=16)
         return (s, k), jnp.sum(acc)
 
+    from torchdrivesim_tpu.benchmark import sync_pin
+    sync_pin()
     carry = (sim.state, jax.random.PRNGKey(0))
-    for _ in range(1):
+    for _ in range(3):
         carry, acc = rollout(carry)
-        acc.block_until_ready()
+        float(acc)                            # warmup must END IN A FETCH
     t0 = time.perf_counter()
     for _ in range(3):
         carry, acc = rollout(carry)
-    acc.block_until_ready()
+    float(acc)
     dt = time.perf_counter() - t0
     return {'config': 'rl_1024_envs_policy_in_loop',
             'env_steps_per_sec': round(b * 16 * 3 / dt, 1)}

@@ -1,0 +1,330 @@
+"""
+Differentiable (softmax-blend) rasterization as a Pallas kernel pair with a
+custom VJP: the TPU fast path for training through rendering.
+
+Semantics match :func:`torchdrivesim_tpu.ops.rasterize.rasterize_softmax`
+(the decoupled coverage / z-arbitration blend documented there and in
+docs/design.md, our replacement for pytorch3d's soft blending,
+`torchdrivesim/rendering/pytorch3d.py:27-44`): per pixel, each face
+contributes soft coverage ``alpha = prod_e sigmoid(d_e/sigma) * ramp`` and
+faces resolve by softmax over ``alpha * exp(-z/gamma)`` against the sampled
+background.
+
+Why a kernel: XLA's autodiff of the chunked-accumulator formulation
+materializes (B, F, 3, H, W) residuals through HBM, making the backward
+~6x the forward (measured 2.5 ms vs 0.4 ms per IL step at B=16, F=24,
+res=64). Here the backward RECOMPUTES everything in VMEM from the per-face
+edge coefficients (3 FMAs + 3 sigmoids per face per pixel tile) and reduces
+per-face gradients to (1, res) rows in-kernel; one cheap XLA sum finishes
+the contraction. No pixel-space residual ever touches HBM.
+
+Layout: 4 cameras per program (fixed per-program costs amortize; same
+reasoning as the fused hard kernel), flat full-lane (res*res/128, 128)
+pixel tiles (a (res, res) tile at res < 128 would idle half the vreg
+lanes), per-face scalar coefficients read from SMEM. The logistic is
+computed manually as 1/(1+exp(-t)): jax.nn.sigmoid lowers ~6x slower
+through Mosaic (measured 4.3 ms vs 0.7 ms for the forward at B=16, F=24).
+
+The custom_vjp boundary sits at (edge coefficients, z-weights, colors,
+background): everything upstream (vertex gather, camera transform, the
+sign/length normalization, degenerate-face masking) is plain differentiable
+XLA, so `jax.grad` flows end-to-end to vertices and camera pose.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from torchdrivesim_tpu.ops.rasterize import DEGENERATE_AREA_EPS, _face_arrays
+
+#: max faces the SMEM coefficient tables are sized for (per camera)
+MAX_FACES = 128
+
+
+def _soft_coefficients(verts, faces, attrs, sigma, gamma):
+    """Per-face normalized edge coefficients t_e(p) = A*px + B*py + C (the
+    sigmoid argument, i.e. signed pixel distance / sigma), z weights, and
+    colors -- differentiable XLA math shared by forward and backward.
+
+    Matches `ops/rasterize.py:_edge_functions` + the normalization in
+    `rasterize_softmax`: d_e = cross(b-a, p-a) * sign(area) / (|b-a|+1e-8).
+    Degenerate faces get C = -1e9 so their coverage (and gradients) vanish
+    inside the kernel without a separate mask operand.
+    """
+    corners, z, color = _face_arrays(verts, faces, attrs)
+    nxt = [1, 2, 0]
+    a = corners
+    b = corners[..., nxt, :]
+    ex = b[..., 0] - a[..., 0]
+    ey = b[..., 1] - a[..., 1]
+    area = (ex[..., 0] * (a[..., 2, 1] - a[..., 0, 1])
+            - ey[..., 0] * (a[..., 2, 0] - a[..., 0, 0]))
+    sign = jnp.sign(area)[..., None]
+    # max() keeps sqrt'(0) finite: degenerate (masked) faces would otherwise
+    # poison the upstream vertex gradient with 0 * inf = NaN
+    elen = jnp.sqrt(jnp.maximum(ex * ex + ey * ey, 1e-12))
+    norm = sign / ((elen + 1e-8) * sigma)
+    ok = (jnp.abs(area) > DEGENERATE_AREA_EPS)[..., None]
+    ca = jnp.where(ok, (-ey) * norm, 0.0)  # coefficient of px (row)
+    cb = jnp.where(ok, ex * norm, 0.0)     # coefficient of py (col)
+    cc = jnp.where(ok, (ey * a[..., 0] - ex * a[..., 1]) * norm, -1e9)
+    coef = jnp.stack([ca, cb, cc], axis=-1)           # (B, F, 3, 3)
+    z_bg = 20.0
+    zw = jnp.exp((z_bg - z) / gamma)
+    return coef, zw, color
+
+
+def _pixel_grids(res):
+    """Pixel-center coordinates on the flat (res*res/128, 128) tile.
+
+    Full-lane tiles: a (res, res) tile at res < 128 would waste
+    128 - res vreg lanes; the row-major flat view keeps all 128 busy and
+    reshapes back for free in XLA (row-major contiguity)."""
+    rows = (res * res) // 128
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0) * 128
+           + jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1))
+    px = (idx // res).astype(jnp.float32) + 0.5
+    py = (idx % res).astype(jnp.float32) + 0.5
+    return rows, px, py
+
+
+def _accumulate_face(coef_ref, zw_ref, c, f, px, py):
+    """Per-face forward quantities on the pixel tile."""
+    t = [coef_ref[c, f, e, 0] * px + coef_ref[c, f, e, 1] * py
+         + coef_ref[c, f, e, 2] for e in range(3)]
+    # manual logistic: jax.nn.sigmoid lowers ~6x slower through Mosaic
+    s = [1.0 / (1.0 + jnp.exp(-te)) for te in t]
+    big_s = s[0] * s[1] * s[2]
+    tmin = jnp.minimum(jnp.minimum(t[0], t[1]), t[2])
+    window = jnp.clip(tmin + 4.0, 0.0, 1.0)
+    alpha = big_s * window
+    return t, s, big_s, tmin, window, alpha
+
+
+def _soft_fwd_kernel(coef_ref, zw_ref, col_ref, bg_ref, out_ref,
+                     *, n_faces, res, cams):
+    rows, px, py = _pixel_grids(res)
+    for c in range(cams):
+        num = [jnp.zeros((rows, 128), jnp.float32) for _ in range(3)]
+        den = jnp.zeros((rows, 128), jnp.float32)
+        transp = jnp.ones((rows, 128), jnp.float32)
+        for f in range(n_faces):
+            _, _, _, _, _, alpha = _accumulate_face(
+                coef_ref, zw_ref, c, f, px, py)
+            w = alpha * zw_ref[c, 0, f]
+            for ch in range(3):
+                num[ch] = num[ch] + w * col_ref[c, f, ch]
+            den = den + w
+            transp = transp * (1.0 - alpha)
+        inv_den = 1.0 / jnp.maximum(den, 1e-8)
+        cover = 1.0 - transp
+        for ch in range(3):
+            cface = num[ch] * inv_den
+            out_ref[c, ch] = cover * cface + transp * bg_ref[c, ch]
+
+
+def _soft_bwd_kernel(coef_ref, zw_ref, col_ref, bg_ref, g_ref,
+                     grow_ref, gbg_ref, alpha_ref, prefix_ref,
+                     *, n_faces, res, cams):
+    """Full in-VMEM recompute + per-face gradient row reduction.
+
+    grow_ref: (cams, n_faces, 13, res) partial sums over image rows --
+    [gA0 gB0 gC0 gA1 gB1 gC1 gA2 gB2 gC2 gzw gcolR gcolG gcolB]; the
+    caller sums over the last axis.
+    """
+    rows, px, py = _pixel_grids(res)
+    for c in range(cams):
+        # pass 1: alphas, coverage prefix products, den/num accumulators
+        num = [jnp.zeros((rows, 128), jnp.float32) for _ in range(3)]
+        den = jnp.zeros((rows, 128), jnp.float32)
+        transp = jnp.ones((rows, 128), jnp.float32)
+        for f in range(n_faces):
+            _, _, _, _, _, alpha = _accumulate_face(
+                coef_ref, zw_ref, c, f, px, py)
+            alpha_ref[f] = alpha
+            prefix_ref[f] = transp
+            w = alpha * zw_ref[c, 0, f]
+            for ch in range(3):
+                num[ch] = num[ch] + w * col_ref[c, f, ch]
+            den = den + w
+            transp = transp * (1.0 - alpha)
+
+        # max(den, eps): the num-gradient always flows through 1/D, the
+        # den-gradient only where den > eps (matching jnp.maximum autodiff)
+        dmask = (den > 1e-8).astype(jnp.float32)
+        inv_den = 1.0 / jnp.maximum(den, 1e-8)
+        cover = 1.0 - transp
+        cface = [num[ch] * inv_den for ch in range(3)]
+        g = [g_ref[c, ch] for ch in range(3)]
+        # dL/dA and the per-channel numerator factors P_c = g_c * A / D
+        dl_da = jnp.zeros((rows, 128), jnp.float32)
+        p_ch = []
+        q = jnp.zeros((rows, 128), jnp.float32)
+        for ch in range(3):
+            dl_da = dl_da + g[ch] * (cface[ch] - bg_ref[c, ch])
+            p = g[ch] * cover * inv_den
+            p_ch.append(p)
+            q = q - p * cface[ch] * dmask
+            gbg_ref[c, ch] = g[ch] * transp
+
+        # pass 2: descending-face suffix products; per-face grad rows
+        suffix = jnp.ones((rows, 128), jnp.float32)
+        for f in range(n_faces - 1, -1, -1):
+            alpha = alpha_ref[f]
+            except_f = prefix_ref[f] * suffix
+            suffix = suffix * (1.0 - alpha)
+            dl_dw = (p_ch[0] * col_ref[c, f, 0]
+                     + p_ch[1] * col_ref[c, f, 1]
+                     + p_ch[2] * col_ref[c, f, 2] + q)
+            dl_dalpha = zw_ref[c, 0, f] * dl_dw + dl_da * except_f
+            t, s, big_s, tmin, window, _ = _accumulate_face(
+                coef_ref, zw_ref, c, f, px, py)
+            wmask = ((tmin > -4.0) & (tmin < -3.0)).astype(jnp.float32)
+            sw = dl_dalpha * big_s * wmask
+
+            def put(k, val, c=c, f=f):
+                grow_ref[c, f, k:k + 1, :] = jnp.sum(val, axis=0,
+                                                     keepdims=True)
+
+            for e in range(3):
+                gt = dl_dalpha * (alpha * (1.0 - s[e])) \
+                    + sw * (t[e] == tmin).astype(jnp.float32)
+                put(3 * e + 0, gt * px)
+                put(3 * e + 1, gt * py)
+                put(3 * e + 2, gt)
+            put(9, dl_dw * alpha)
+            w = alpha * zw_ref[c, 0, f]
+            for ch in range(3):
+                put(10 + ch, p_ch[ch] * w)
+
+
+def _pallas_soft_fwd(coef, zw, color, background, *, res, cams, interpret):
+    b, _, n_faces = zw.shape
+    rows = (res * res) // 128
+    cam_idx4 = lambda i: (i, 0, 0, 0)
+    cam_idx3 = lambda i: (i, 0, 0)
+    out = pl.pallas_call(
+        functools.partial(_soft_fwd_kernel, n_faces=n_faces, res=res,
+                          cams=cams),
+        grid=(b // cams,),
+        in_specs=[
+            pl.BlockSpec((cams, n_faces, 3, 3), cam_idx4,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((cams, 1, n_faces), cam_idx3,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((cams, n_faces, 3), cam_idx3,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((cams, 3, rows, 128), cam_idx4,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cams, 3, rows, 128), cam_idx4,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 3, rows, 128), jnp.float32),
+        interpret=interpret,
+    )(coef, zw, color, background.reshape(b, 3, rows, 128))
+    return out.reshape(b, 3, res, res)
+
+
+def _pallas_soft_bwd(coef, zw, color, background, g, *, res, cams,
+                     interpret):
+    b, _, n_faces = zw.shape
+    rows = (res * res) // 128
+    cam_idx4 = lambda i: (i, 0, 0, 0)
+    cam_idx3 = lambda i: (i, 0, 0)
+    grow, gbg = pl.pallas_call(
+        functools.partial(_soft_bwd_kernel, n_faces=n_faces, res=res,
+                          cams=cams),
+        grid=(b // cams,),
+        in_specs=[
+            pl.BlockSpec((cams, n_faces, 3, 3), cam_idx4,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((cams, 1, n_faces), cam_idx3,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((cams, n_faces, 3), cam_idx3,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((cams, 3, rows, 128), cam_idx4,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cams, 3, rows, 128), cam_idx4,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((cams, n_faces, 13, 128), cam_idx4,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cams, 3, rows, 128), cam_idx4,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_faces, 13, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, 3, rows, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_faces, rows, 128), jnp.float32),
+            pltpu.VMEM((n_faces, rows, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(coef, zw, color, background.reshape(b, 3, rows, 128),
+      g.reshape(b, 3, rows, 128))
+    sums = jnp.sum(grow, axis=-1)                     # (B, F, 13)
+    gcoef = sums[..., :9].reshape(b, n_faces, 3, 3)
+    gzw = sums[..., 9][:, None, :]                    # matches zw (B, 1, F)
+    gcolor = sums[..., 10:13]
+    return gcoef, gzw, gcolor, gbg.reshape(b, 3, res, res)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _soft_raster_core(coef, zw, color, background, res, cams, interpret):
+    return _pallas_soft_fwd(coef, zw, color, background, res=res,
+                            cams=cams, interpret=interpret)
+
+
+def _core_fwd(coef, zw, color, background, res, cams, interpret):
+    out = _pallas_soft_fwd(coef, zw, color, background, res=res, cams=cams,
+                           interpret=interpret)
+    return out, (coef, zw, color, background)
+
+
+def _core_bwd(res, cams, interpret, residuals, g):
+    coef, zw, color, background = residuals
+    gcoef, gzw, gcolor, gbg = _pallas_soft_bwd(
+        coef, zw, color, background, g, res=res, cams=cams,
+        interpret=interpret)
+    return gcoef, gzw, gcolor, gbg
+
+
+_soft_raster_core.defvjp(_core_fwd, _core_bwd)
+
+
+def rasterize_softmax_pallas(verts: jnp.ndarray, faces: jnp.ndarray,
+                             attrs: jnp.ndarray, res: int,
+                             background: jnp.ndarray, sigma: float = 0.5,
+                             gamma: float = 0.5, cams_per_program: int = 4,
+                             interpret: bool = False) -> jnp.ndarray:
+    """
+    Drop-in Pallas equivalent of
+    :func:`torchdrivesim_tpu.ops.rasterize.rasterize_softmax` for
+    channels-LAST callers; differentiable w.r.t. verts, attrs, and
+    background.
+
+    Args:
+        verts: (B, V, 3) screen (row, col, priority z); faces: (B, F, 3);
+        attrs: (B, V, 3) colors; background: (B, res, res, 3).
+    Returns:
+        (B, res, res, 3) image in [0, 1].
+    """
+    b, f = faces.shape[0], faces.shape[1]
+    assert f <= MAX_FACES, f"soft kernel sized for <= {MAX_FACES} faces, got {f}"
+    assert res <= 128 and (res * res) % 128 == 0, res
+    if f == 0:
+        return background
+    coef, zw, color = _soft_coefficients(verts, faces, attrs, sigma, gamma)
+    zw = zw[:, None, :]        # (B, 1, F): SMEM blocks need >=2 trailing
+    #                            dims equal to the full array extents
+    cams = min(cams_per_program, b)
+    while b % cams:
+        cams -= 1
+    bg_chw = jnp.transpose(background, (0, 3, 1, 2))
+    img = _soft_raster_core(coef, zw, color, bg_chw, res, cams, interpret)
+    return jnp.transpose(img, (0, 2, 3, 1))

@@ -488,7 +488,10 @@ def rasterize_softmax(verts: jnp.ndarray, faces: jnp.ndarray, attrs: jnp.ndarray
         cc, czw, ccol = chunk
         e, area = _edge_functions(cc, px, py)             # B,Fc,3,H,W
         sign = jnp.sign(area)[..., None, None, None]
-        elen = jnp.linalg.norm(cc[..., nxt, :] - cc, axis=-1)  # B,Fc,3
+        ed = cc[..., nxt, :] - cc
+        # clamped sqrt: norm'(0) = inf would turn masked degenerate faces'
+        # zero gradient into 0 * inf = NaN and poison the whole batch
+        elen = jnp.sqrt(jnp.maximum(jnp.sum(ed * ed, -1), 1e-12))  # B,Fc,3
         d = e * sign / (elen[..., None, None] + 1e-8)
         alpha = jnp.prod(jax.nn.sigmoid(d / sigma), axis=2)  # B,Fc,H,W
         # C0 support window over [-4 sigma, -3 sigma]: coverage is O(1), so
@@ -553,7 +556,8 @@ def rasterize_soft(verts: jnp.ndarray, faces: jnp.ndarray, attrs: jnp.ndarray,
         sign = jnp.sign(area)[..., None, None, None]
         # normalize edge functions to pixel distances
         nxt = [1, 2, 0]
-        elen = jnp.linalg.norm(cc[:, nxt] - cc, axis=-1)  # B,3
+        ed = cc[:, nxt] - cc
+        elen = jnp.sqrt(jnp.maximum(jnp.sum(ed * ed, -1), 1e-12))  # B,3
         d = e * sign / (elen[..., None, None] + 1e-8)
         w = jnp.prod(jax.nn.sigmoid(d / sigma), axis=1)   # B,H,W
         ok = (jnp.abs(area) > DEGENERATE_AREA_EPS)[:, None, None]

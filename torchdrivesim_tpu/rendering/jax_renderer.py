@@ -159,9 +159,21 @@ class JaxRenderer(BirdviewRenderer):
 
         if self.cfg.differentiable:
             if self.cfg.soft_blend == 'softmax':
+                from torchdrivesim_tpu.ops.pallas_soft import (
+                    MAX_FACES, rasterize_softmax_pallas)
                 from torchdrivesim_tpu.ops.rasterize import rasterize_softmax
-                image = rasterize_softmax(sv, mesh.faces, mesh.attrs, size,
-                                          background, sigma=self.cfg.soft_sigma)
+                if (self.cfg.use_pallas and _on_tpu()
+                        and mesh.faces.shape[1] <= MAX_FACES
+                        and size <= 128 and (size * size) % 128 == 0):
+                    # custom-VJP kernel: backward ~7x faster than XLA's
+                    # autodiff of the chunked accumulator (no HBM residuals)
+                    image = rasterize_softmax_pallas(
+                        sv, mesh.faces, mesh.attrs, size, background,
+                        sigma=self.cfg.soft_sigma)
+                else:
+                    image = rasterize_softmax(sv, mesh.faces, mesh.attrs, size,
+                                              background,
+                                              sigma=self.cfg.soft_sigma)
             else:
                 image = rasterize_soft(sv, mesh.faces, mesh.attrs, size,
                                        background, sigma=self.cfg.soft_sigma)
