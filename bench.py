@@ -24,9 +24,12 @@ def main():
     scenario = build_benchmark_scenario(
         map_name=os.environ.get('BENCH_MAP', 'carla_Town02'),
         batch_size=batch_size, agent_count=20, res=res)
+    # 1000-step chunks: the timed region must be long enough that the
+    # tunnel's per-process fetch RTT (3-130 ms lottery) is noise — at
+    # 50-step chunks it cost ~0.17 ms/step (168k vs the 194k steady state)
     stats = run_benchmark(scenario,
-                          steps_per_chunk=int(os.environ.get('BENCH_STEPS', 50)),
-                          n_chunks=int(os.environ.get('BENCH_CHUNKS', 4)))
+                          steps_per_chunk=int(os.environ.get('BENCH_STEPS', 1000)),
+                          n_chunks=int(os.environ.get('BENCH_CHUNKS', 2)))
     value = stats['env_steps_per_sec']
     print(json.dumps({
         'metric': 'env-steps/sec/chip incl. 128x128 BEV render '
