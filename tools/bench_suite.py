@@ -83,7 +83,7 @@ def config1_simulate():
     cks.block_until_ready()
     # throughput: dispatches pipeline when not blocked between calls; the
     # single final value fetch is an honest barrier (pinned mode)
-    n = 10
+    n = 40
     t0 = time.perf_counter()
     for _ in range(n):
         state, cks = rollout(state)
@@ -115,12 +115,14 @@ def config2_infractions():
         def body(s, _):
             s, out = step(s, jnp.zeros((64, 20, 2)))
             return s, sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
-        s, acc = jax.lax.scan(body, state, None, length=100)
+        # 500-step chunks: short timed regions under-read by the tunnel's
+        # fixed fetch RTT (same effect as the headline bench, BENCH_NOTES)
+        s, acc = jax.lax.scan(body, state, None, length=500)
         return s, jnp.sum(acc)
 
     dt = timed_steps(rollout, sc.sim.state)
     return {'config': 'batched_infractions_batch64',
-            'env_steps_per_sec': round(64 * 100 * 3 / dt, 1)}
+            'env_steps_per_sec': round(64 * 500 * 3 / dt, 1)}
 
 
 def config3_heterogeneous():
@@ -144,12 +146,12 @@ def config3_heterogeneous():
         def body(s, _):
             s, out = step(s, jnp.zeros((64, 20, 4)))
             return s, jnp.sum(out['image'])
-        s, acc = jax.lax.scan(body, state, None, length=50)
+        s, acc = jax.lax.scan(body, state, None, length=500)
         return s, jnp.sum(acc)
 
     dt = timed_steps(rollout, sim.state)
     return {'config': 'heterogeneous_agents_batch64',
-            'env_steps_per_sec': round(64 * 50 * 3 / dt, 1)}
+            'env_steps_per_sec': round(64 * 500 * 3 / dt, 1)}
 
 
 def config4_il_gradients():
@@ -242,13 +244,14 @@ def config5_rl_1024_envs():
     for _ in range(3):
         carry, acc = rollout(carry)
         float(acc)                            # warmup must END IN A FETCH
+    reps = 10
     t0 = time.perf_counter()
-    for _ in range(3):
+    for _ in range(reps):
         carry, acc = rollout(carry)
     float(acc)
     dt = time.perf_counter() - t0
     return {'config': 'rl_1024_envs_policy_in_loop',
-            'env_steps_per_sec': round(b * 16 * 3 / dt, 1)}
+            'env_steps_per_sec': round(b * 16 * reps / dt, 1)}
 
 
 CONFIGS = {
