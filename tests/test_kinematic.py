@@ -113,6 +113,23 @@ def test_bicycle_by_displacement():
     np.testing.assert_allclose(s[1], 0.0, atol=1e-4)
 
 
+def test_step_from_xy_matches_step():
+    """`step_from_xy` (ref: `kinematic.py:550-558,577-580`) is `step` with the
+    action sliced to its first two channels, for both displacement models."""
+    dt = 0.1
+    for cls in (K.BicycleByDisplacement, K.BicycleByOrientedDisplacement):
+        a = cls(dt=dt)
+        b = cls(dt=dt)
+        for m in (a, b):
+            m.set_params(lr=jnp.full((1, 1), 1.0))
+            m.set_state(_state([0.0, 0.0, 0.5, 1.0]))
+        action = jnp.asarray([[[0.3, -0.2]]])
+        a.step(action)
+        b.step_from_xy(action)
+        np.testing.assert_allclose(np.asarray(a.get_state()),
+                                   np.asarray(b.get_state()), atol=1e-6)
+
+
 def test_compound_dispatch_matches_individual():
     dt = 0.1
     B, A = 2, 3

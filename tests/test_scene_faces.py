@@ -293,3 +293,25 @@ def test_render_prims_banded_dense_traffic_jam(monkeypatch):
     agree = np.isclose(got, want, atol=0.7).all(axis=1).mean()
     assert agree > 0.99, f"dense banded vs XLA agreement {agree}"
     assert got.max() > 0
+
+
+def test_add_static_rgb_meshes_extends_background():
+    """`add_static_rgb_meshes` (ref: `mesh.py:877-883`) appends pre-colored
+    static geometry to the background RGB mesh."""
+    from tests.test_simulator import _build_simulator
+    from torchdrivesim_tpu.mesh import BaseMesh, RGBMesh
+    sim = _build_simulator()
+    gen = sim.birdview_mesh_generator
+    before = gen.background_rgb.faces_count
+    B = gen.background_rgb.batch_size
+    quad = BaseMesh(
+        verts=jnp.tile(jnp.asarray([[[0., 0.], [1., 0.], [1., 1.], [0., 1.]]]),
+                       (B, 1, 1)),
+        faces=jnp.tile(jnp.asarray([[[0, 1, 2], [0, 2, 3]]]), (B, 1, 1)))
+    gen.add_static_rgb_meshes([RGBMesh.set_color(quad, (128, 64, 32))])
+    after = gen.background_rgb.faces_count
+    assert after == before + 2
+    # the appended color is present among the vertex attributes
+    attrs = np.asarray(gen.background_rgb.attrs)
+    expected = np.asarray([128, 64, 32]) / 255.0
+    assert (np.isclose(attrs, expected, atol=1e-6).all(-1)).any()

@@ -528,11 +528,24 @@ class BicycleByDisplacement(KinematicBicycle):
         self.params = self.params.replace(max_dx=max_dx)
         self.model_id = BICYCLE_BY_DISPLACEMENT
 
+    def step_from_xy(self, xy, dt=None):
+        """Step from a normalized world-frame velocity action, ignoring any
+        extra action channels (ref: `kinematic.py:550-558`, where ``step``
+        delegates to this after slicing the first two channels)."""
+        self.state = step(self.state, jnp.asarray(xy)[..., :2], self.params,
+                          single_model=BICYCLE_BY_DISPLACEMENT, dt=dt)
+
 
 class BicycleByOrientedDisplacement(BicycleByDisplacement):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.model_id = BICYCLE_BY_ORIENTED_DISPLACEMENT
+
+    def step_from_xy(self, xy, dt=None):
+        """Agent-frame variant (ref: `kinematic.py:577-580`)."""
+        self.state = step(self.state, jnp.asarray(xy)[..., :2], self.params,
+                          single_model=BICYCLE_BY_ORIENTED_DISPLACEMENT,
+                          dt=dt)
 
 
 class CompoundKinematicModel(KinematicModel):

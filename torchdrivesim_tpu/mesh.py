@@ -116,6 +116,17 @@ class BaseMesh:
         return self.faces.shape[-2]
 
     @property
+    def device(self):
+        """Device holding the vertices (ref: `mesh.py:113-115`). Host numpy
+        meshes (the `_host` convention) report None; committed jax arrays
+        report their single device."""
+        devs = getattr(self.verts, 'devices', None)
+        if devs is None:
+            return None
+        devs = devs()
+        return next(iter(devs)) if len(devs) == 1 else None
+
+    @property
     def center(self) -> jnp.ndarray:
         """Bx2 midpoint of the vertex bounding box (ref: `mesh.py:118-126`)."""
         if self.verts_count > 0:

@@ -143,6 +143,21 @@ class BirdviewRGBMeshGenerator:
                for m in meshes]
         self.background_rgb = RGBMesh.concat([self.background_rgb] + rgb)
 
+    def add_static_rgb_meshes(self, meshes: List[RGBMesh],
+                              z: float = 0.0) -> None:
+        """Append pre-colored static elements to the background
+        (ref: `mesh.py:877-883`). Meshes with plain 2D vertices get a
+        constant rendering-priority column ``z`` appended so they match the
+        (x, y, z) layout `fill_attr` gives the background."""
+        def lift(m: RGBMesh) -> RGBMesh:
+            if m.verts.shape[-1] == 2:
+                col = jnp.full(m.verts.shape[:-1] + (1,), z, m.verts.dtype)
+                m = dataclasses.replace(
+                    m, verts=jnp.concatenate([m.verts, col], axis=-1))
+            return m
+        self.background_rgb = RGBMesh.concat(
+            [self.background_rgb] + [lift(m) for m in meshes])
+
     def initialize_waypoint_mesh(self, waypoint_radius: float = 2.0,
                                  waypoint_num_triangles: int = 10):
         self.waypoint_radius = waypoint_radius
