@@ -8,9 +8,26 @@ from torchdrivesim_tpu.map import find_map_config, find_wrong_way_stoplines
 
 
 @pytest.mark.integration
-@pytest.mark.parametrize('map_name', ['carla_Town01', 'carla_Town02'])
+@pytest.mark.parametrize('map_name',
+                         ['carla_Town01', 'carla_Town02', 'carla_Town10HD'])
 def test_no_wrong_way_stoplines(map_name):
     cfg = find_map_config(map_name)
     if cfg is None or cfg.lanelet_map is None:
         pytest.skip(f'{map_name} assets unavailable')
     assert find_wrong_way_stoplines(cfg) == []
+
+
+@pytest.mark.integration
+def test_town10hd_loads_with_baked_assets():
+    """carla_Town10HD ships only its .osm upstream; this repo bakes the mesh
+    JSON (reference format, `mesh.py:700-709`), grid cache, and texture from
+    it. The left-handed map must load fast from those caches with all
+    categories and a direction field present."""
+    cfg = find_map_config('carla_Town10HD')
+    assert cfg is not None and cfg.left_handed_coordinates
+    mesh = cfg.road_mesh
+    assert mesh is not None and mesh.faces.shape[-2] > 10000
+    assert set(mesh.categories) >= {'road', 'left_lane', 'right_lane'}
+    grids = cfg.grids(bake_if_missing=False)
+    assert grids is not None and grids.direction is not None
+    assert grids.distance.data.shape[0] > 500

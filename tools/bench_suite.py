@@ -52,7 +52,9 @@ def timed_steps(rollout_fn, state, n_warm=4, n_timed=3):
 
 def config1_simulate():
     from torchdrivesim_tpu.benchmark import build_benchmark_scenario, sync_pin
-    sc = build_benchmark_scenario(batch_size=1, agent_count=20, res=128)
+    # BASELINE config 1 names carla_Town01 (its mesh JSON ships upstream)
+    sc = build_benchmark_scenario(map_name='carla_Town01', batch_size=1,
+                                  agent_count=20, res=128)
     step = sc.make_step_fn(render=True, metrics=True)
 
     @jax.jit
@@ -98,7 +100,7 @@ def config1_simulate():
         state, cks = rollout(state)
         float(cks)
         times.append(time.perf_counter() - t0)
-    return {'config': 'simulate_100step_batch1',
+    return {'config': 'simulate_100step_batch1_town01',
             'env_steps_per_sec': round(100 / dt_pipe, 1),
             'blocking_latency_ms': round(min(times) * 1e3, 2),
             'dispatch_rtt_ms': round(rtt * 1e3, 2)}
@@ -106,6 +108,8 @@ def config1_simulate():
 
 def config2_infractions():
     from torchdrivesim_tpu.benchmark import build_benchmark_scenario
+    # BASELINE names carla_Town03, whose .osm/mesh are stripped from the
+    # upstream checkout (.MISSING_LARGE_BLOBS) -- Town02 substitutes
     sc = build_benchmark_scenario(batch_size=64, agent_count=20, res=128,
                                   use_texture=False)
     step = sc.make_step_fn(render=False, metrics=True)
@@ -121,14 +125,17 @@ def config2_infractions():
         return s, jnp.sum(acc)
 
     dt = timed_steps(rollout, sc.sim.state)
-    return {'config': 'batched_infractions_batch64',
+    return {'config': 'batched_infractions_batch64_town02_sub_for_town03',
             'env_steps_per_sec': round(64 * 500 * 3 / dt, 1)}
 
 
 def config3_heterogeneous():
     import torchdrivesim_tpu.kinematic as K
     from torchdrivesim_tpu.benchmark import build_benchmark_scenario
-    sc = build_benchmark_scenario(batch_size=64, agent_count=20, res=128)
+    # BASELINE config 3 names carla_Town10HD: mesh/grids/texture are baked
+    # by our lanelet2 pipeline from the .osm the upstream checkout retains
+    sc = build_benchmark_scenario(map_name='carla_Town10HD', batch_size=64,
+                                  agent_count=20, res=128)
     sim = sc.sim
     # per-type kinematics: vehicles (bicycle), pedestrians (simple),
     # cyclists (bicycle-no-reversing)
@@ -150,7 +157,7 @@ def config3_heterogeneous():
         return s, jnp.sum(acc)
 
     dt = timed_steps(rollout, sim.state)
-    return {'config': 'heterogeneous_agents_batch64',
+    return {'config': 'heterogeneous_agents_batch64_town10hd',
             'env_steps_per_sec': round(64 * 500 * 3 / dt, 1)}
 
 
