@@ -224,10 +224,16 @@ class SingleAgentWrapper:
 
     @staticmethod
     def _squeeze(x):
+        """Drop the leading singleton batch and agent dims, matching the
+        reference's ``transform_out`` = ``squeeze(0).squeeze(0)``
+        (`examples/gym_env.py:240-247`): torch's squeeze(0) is a no-op on
+        non-singleton dims, so only size-1 leading axes are removed."""
         if isinstance(x, dict):
             return {k: SingleAgentWrapper._squeeze(v) for k, v in x.items()}
-        if isinstance(x, (np.ndarray, jnp.ndarray)) and x.ndim >= 2:
-            return x  # image observations keep their CxHxW shape
+        if isinstance(x, (np.ndarray, jnp.ndarray)):
+            for _ in range(2):
+                if x.ndim > 0 and x.shape[0] == 1:
+                    x = x[0]
         return x
 
     def reset(self, seed: Optional[int] = None):

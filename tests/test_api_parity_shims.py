@@ -27,7 +27,29 @@ def test_reference_renderer_configs_map_to_jax_backend():
     assert renderer_from_config(Pytorch3DRendererConfig()).cfg.differentiable
     hard = Pytorch3DRendererConfig(differentiable_rendering='hard')
     assert not renderer_from_config(hard).cfg.differentiable
+    # sigmoid is ALSO a differentiable pytorch3d blend
+    # (`rendering/pytorch3d.py:27-35`): it must map to the soft rasterizer
+    sig = Pytorch3DRendererConfig(differentiable_rendering='sigmoid')
+    assert renderer_from_config(sig).cfg.differentiable
     assert not renderer_from_config(CV2RendererConfig()).cfg.differentiable
+
+
+def test_use_pallas_gate_requires_whole_bands():
+    """Every Pallas raster path tiles into 4096-pixel bands and a 256-texel
+    window: res=32 (res*res=1024) and res=96 must take the XLA fallback
+    instead of crashing in-kernel; res=64/128 may use Pallas."""
+    from torchdrivesim_tpu.rendering import JaxRendererConfig, jax_renderer
+    r = JaxRenderer(JaxRendererConfig())
+    orig = jax_renderer._on_tpu
+    jax_renderer._on_tpu = lambda: True
+    try:
+        assert not r._use_pallas(32)
+        assert not r._use_pallas(96)
+        assert not r._use_pallas(256)
+        assert r._use_pallas(64)
+        assert r._use_pallas(128)
+    finally:
+        jax_renderer._on_tpu = orig
 
 
 def test_iai_attribute_conversions_round_trip():

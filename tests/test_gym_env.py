@@ -151,3 +151,19 @@ def test_main_handles_sigterm():
     assert handler is not None, "main() must install a SIGTERM handler"
     with pytest.raises(InterruptedError):
         handler(signal.SIGTERM, None)
+
+
+def test_single_agent_wrapper_squeezes_singleton_dims():
+    """`_squeeze` matches the reference's transform_out =
+    squeeze(0).squeeze(0) (`examples/gym_env.py:240-247`): leading
+    singleton batch/agent dims are removed, others untouched."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'examples'))
+    from gym_env import SingleAgentWrapper
+    sq = SingleAgentWrapper._squeeze
+    assert sq(np.zeros((1, 1, 3, 4))).shape == (3, 4)
+    assert sq(np.zeros((1, 3, 4))).shape == (3, 4)
+    assert sq(np.zeros((3, 64, 64))).shape == (3, 64, 64)   # CxHxW untouched
+    assert sq({'a': np.zeros((1, 1, 2))})['a'].shape == (2,)
+    assert sq(5) == 5

@@ -303,3 +303,34 @@ def test_host_wrong_way_path_warns_on_large_batch(caplog):
     with caplog.at_level(logging.WARNING, logger='torchdrivesim_tpu.simulator'):
         sim.compute_wrong_way()
     assert not any('HOST lanelet path' in r.message for r in caplog.records)
+
+
+def test_extend_and_select_preserve_host_arrays():
+    """Scenario-setup arrays (agent size/type/lr, NPC and spawn tensors)
+    must stay HOST numpy through extend/select_batch_elements: device
+    copies would embed as device jit-closure constants, forcing a D2H at
+    lowering (slow-dispatch trap on tunneled TPU clients, see CLAUDE.md)."""
+    import numpy as _np
+    sim = _build_simulator(with_npcs=True)
+    # make the setup arrays host-resident, as real scenario construction
+    # does (the fixture builds jnp arrays for brevity)
+    host_fields = ('agent_size', 'agent_type', 'agent_lr')
+    for n in host_fields:
+        setattr(sim, n, _np.asarray(getattr(sim, n)))
+    npc = sim.npc_controller
+    host_npc = npc._array_fields()
+    for n in host_npc:
+        setattr(npc, n, _np.asarray(getattr(npc, n)))
+
+    big = sim.extend(2, in_place=False)
+    for n in host_fields:
+        assert isinstance(getattr(big, n), _np.ndarray), n
+    for n in host_npc:
+        assert isinstance(getattr(big.npc_controller, n), _np.ndarray), n
+
+    sel = big.select_batch_elements(_np.asarray([0, 2]), in_place=False)
+    for n in host_fields:
+        assert isinstance(getattr(sel, n), _np.ndarray), n
+    for n in host_npc:
+        assert isinstance(getattr(sel.npc_controller, n), _np.ndarray), n
+    assert sel.batch_size == 2

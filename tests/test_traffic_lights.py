@@ -209,3 +209,25 @@ def test_schedule_respects_replay_horizon(controller):
             np.testing.assert_array_equal(
                 got, np.broadcast_to(expected, got.shape),
                 err_msg=f"schedule not applied after replay, tick {t}")
+
+
+def test_schedule_applies_at_current_time_before_any_step(controller):
+    """A render or violation check BEFORE the first step must already see
+    FSM-driven lights: `set_light_schedule` applies the schedule at the
+    current time instead of leaving the control's default state."""
+    from tests.test_simulator import _build_simulator
+
+    sim = _build_simulator()
+    control = sim.traffic_controls['traffic_light']
+    controller.set_to([[0, 10], [0, 7]])
+    control.replay_states = control.replay_states[..., :0]
+    baked = BakedLightSchedule(controller, light_ids=[101])
+    before = np.asarray(sim.state.traffic_control_state['traffic_light'])
+    sim.set_light_schedule(baked)
+    got = np.asarray(sim.state.traffic_control_state['traffic_light'])
+    expected = np.asarray(baked.states_at(0.0))
+    np.testing.assert_array_equal(
+        got, np.broadcast_to(expected, got.shape),
+        err_msg=f"t=0 light state not FSM-driven (was {before})")
+    # the facade's view agrees
+    np.testing.assert_array_equal(np.asarray(control.state), got)

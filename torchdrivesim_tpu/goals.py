@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from torchdrivesim_tpu.utils import as_batch_index, host_repeat
+
 
 @struct.dataclass
 class WaypointGoalState:
@@ -136,7 +138,7 @@ class WaypointGoal:
 
     def extend(self, n: int, in_place: bool = True) -> "WaypointGoal":
         target = self if in_place else self.copy()
-        enlarge = lambda x: jnp.repeat(x, n, axis=0)
+        enlarge = lambda x: host_repeat(x, n)
         target.waypoints = enlarge(self.waypoints)
         target._state = WaypointGoalState(state=enlarge(self._state.state),
                                           mask=enlarge(self._state.mask))
@@ -144,7 +146,7 @@ class WaypointGoal:
 
     def select_batch_elements(self, idx, in_place: bool = True) -> "WaypointGoal":
         target = self if in_place else self.copy()
-        idx = jnp.asarray(idx)
+        idx = as_batch_index(idx)
         target.waypoints = self.waypoints[idx]
         target._state = WaypointGoalState(state=self._state.state[idx],
                                           mask=self._state.mask[idx])

@@ -305,20 +305,30 @@ def get_all_intersections(rects: np.ndarray,
     Returns:
         (M, M) float upper-triangular 0/1 matrix, or (M-1,) for ego mode.
     """
+    import contextlib
+
     from torchdrivesim_tpu.ops.box import oriented_box_intersection_area
     rects = np.asarray(rects, dtype=np.float32)
     m = len(rects)
-    corners = np.asarray(box2corners(jnp.asarray(rects)))    # (M, 4, 2)
-    if ego_idx is None:
-        c1 = jnp.asarray(corners)[:, None]                   # (M, 1, 4, 2)
-        c2 = jnp.asarray(corners)[None, :]                   # (1, M, 4, 2)
+    # host-facing oracle: pin the math to the CPU backend so the fetches
+    # below never touch the (tunneled) accelerator client -- a first D2H
+    # fetch would flip it into slow synchronous dispatch (CLAUDE.md)
+    try:
+        ctx = jax.default_device(jax.devices('cpu')[0])
+    except RuntimeError:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        corners = np.asarray(box2corners(jnp.asarray(rects)))  # (M, 4, 2)
+        if ego_idx is None:
+            c1 = jnp.asarray(corners)[:, None]                 # (M, 1, 4, 2)
+            c2 = jnp.asarray(corners)[None, :]                 # (1, M, 4, 2)
+            area = np.asarray(oriented_box_intersection_area(
+                jnp.broadcast_to(c1, (m, m, 4, 2)),
+                jnp.broadcast_to(c2, (m, m, 4, 2))))
+            hit = (area > 1e-9).astype(np.float64)
+            return np.triu(hit, k=1)
+        others = np.delete(corners, ego_idx, axis=0)           # (M-1, 4, 2)
+        ego = np.broadcast_to(corners[ego_idx], others.shape)
         area = np.asarray(oriented_box_intersection_area(
-            jnp.broadcast_to(c1, (m, m, 4, 2)),
-            jnp.broadcast_to(c2, (m, m, 4, 2))))
-        hit = (area > 1e-9).astype(np.float64)
-        return np.triu(hit, k=1)
-    others = np.delete(corners, ego_idx, axis=0)             # (M-1, 4, 2)
-    ego = np.broadcast_to(corners[ego_idx], others.shape)
-    area = np.asarray(oriented_box_intersection_area(
-        jnp.asarray(ego), jnp.asarray(others)))
-    return (area > 1e-9).astype(np.float64)
+            jnp.asarray(ego), jnp.asarray(others)))
+        return (area > 1e-9).astype(np.float64)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from torchdrivesim_tpu.utils import rotate
+from torchdrivesim_tpu.utils import as_batch_index, host_repeat, rotate
 
 STATE_SIZE = 4   #: (x, y, psi, v)
 ACTION_BUF = 4   #: unified action buffer width (max over models)
@@ -459,7 +459,7 @@ class KinematicModel:
         self.params = self.params.replace(lr=_extend_array(self.params.lr, n))
 
     def select_batch_elements(self, idx):
-        idx = jnp.asarray(idx)
+        idx = as_batch_index(idx)
         self.state = self.state[idx]
         if self.params.lr.ndim > 0:
             self.params = self.params.replace(lr=self.params.lr[idx])
@@ -470,7 +470,7 @@ def _extend_array(x, n: int):
     batch element n times contiguously (unsqueeze+expand+flatten)."""
     if x is None or x.ndim == 0:
         return x
-    return jnp.repeat(x, n, axis=0)
+    return host_repeat(x, n)
 
 
 class TeleportingKinematicModel(KinematicModel):
@@ -589,4 +589,4 @@ class CompoundKinematicModel(KinematicModel):
 
     def select_batch_elements(self, idx):
         super().select_batch_elements(idx)
-        self.model_assignments = self.model_assignments[jnp.asarray(idx)]
+        self.model_assignments = self.model_assignments[as_batch_index(idx)]

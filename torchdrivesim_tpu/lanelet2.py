@@ -30,6 +30,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from torchdrivesim_tpu.utils import as_batch_index, host_repeat
+
 from torchdrivesim_tpu.mesh import BaseMesh, BirdviewMesh, rendering_mesh
 
 is_available = True  # this implementation has no optional native dependency
@@ -63,10 +65,10 @@ class LaneFeatures:
         return self._map(lambda x: x)
 
     def extend(self, n: int) -> "LaneFeatures":
-        return self._map(lambda x: jnp.repeat(x, n, axis=0))
+        return self._map(lambda x: host_repeat(x, n))
 
     def select_batch_elements(self, idx) -> "LaneFeatures":
-        idx = jnp.asarray(idx)
+        idx = as_batch_index(idx)
         return self._map(lambda x: x[idx])
 
 

@@ -51,7 +51,7 @@ def renderer_from_config(cfg: Union[RendererConfig, dict],
                 and isinstance(lifted, JaxRendererConfig)):
             blend = getattr(cfg.differentiable_rendering, 'value',
                             cfg.differentiable_rendering)
-            lifted.differentiable = str(blend) == 'soft'
+            lifted.differentiable = str(blend) in ('soft', 'sigmoid')
         cfg = lifted
     return renderer_cls(cfg, **kwargs)
 

@@ -80,7 +80,10 @@ class JaxRenderer(BirdviewRenderer):
     def _use_pallas(self, res: int) -> bool:
         if not self.cfg.use_pallas or self.cfg.differentiable:
             return False
-        if (res * res) % 1024 != 0:
+        # every Pallas raster path tiles the image into whole 4096-pixel
+        # bands and caps at the 256-texel window: res=32/96 etc. must take
+        # the XLA fallback instead of hitting in-kernel asserts
+        if res > 128 or (res * res) % 4096 != 0:
             return False
         return _on_tpu()
 

@@ -28,7 +28,7 @@ from torchdrivesim_tpu.mesh import (
     set_colors_with_defaults, tensor_color,
 )
 from torchdrivesim_tpu.traffic_controls import BaseTrafficControl
-from torchdrivesim_tpu.utils import rotate
+from torchdrivesim_tpu.utils import as_batch_index, host_repeat, rotate
 
 #: verts per actor: 4 box corners + 3 direction-triangle verts
 ACTOR_BOX_VERTS = 4
@@ -276,11 +276,11 @@ class BirdviewRGBMeshGenerator:
         def f(x):
             if hasattr(x, 'expand'):
                 return x.expand(n)
-            return jnp.repeat(x, n, axis=0)
+            return host_repeat(x, n)
         return self._map_arrays(f)
 
     def select_batch_elements(self, idx):
-        idx = jnp.asarray(idx)
+        idx = as_batch_index(idx)
         def f(x):
             if hasattr(x, 'select_batch_elements'):
                 return x.select_batch_elements(idx)

@@ -53,7 +53,8 @@ from torchdrivesim_tpu.rendering import (
 from torchdrivesim_tpu.scene_mesh import BirdviewRGBMeshGenerator
 from torchdrivesim_tpu.traffic_controls import BaseTrafficControl
 from torchdrivesim_tpu.utils import (
-    Resolution, assert_equal, is_inside_polygon, relative, time_slice)
+    Resolution, as_batch_index, assert_equal, host_repeat,
+    is_inside_polygon, relative, time_slice)
 
 logger = logging.getLogger(__name__)
 
@@ -147,14 +148,14 @@ class SpawnController:
         return out
 
     def extend(self, n, in_place=True):
-        out = self._map(lambda x: jnp.repeat(x, n, axis=0))
+        out = self._map(lambda x: host_repeat(x, n))
         if in_place:
             self.__dict__.update(out.__dict__)
             return self
         return out
 
     def select_batch_elements(self, idx, in_place=True):
-        idx = jnp.asarray(idx)
+        idx = as_batch_index(idx)
         out = self._map(lambda x: x[idx])
         if in_place:
             self.__dict__.update(out.__dict__)
@@ -246,13 +247,13 @@ class NPCController:
     def extend(self, n, in_place=True):
         target = self if in_place else self.copy()
         for name in target._array_fields():
-            setattr(target, name, jnp.repeat(getattr(self, name), n, axis=0))
+            setattr(target, name, host_repeat(getattr(self, name), n))
         target.spawn_controller = self.spawn_controller.extend(n, in_place=False)
         return target
 
     def select_batch_elements(self, idx, in_place=True):
         target = self if in_place else self.copy()
-        idx = jnp.asarray(idx)
+        idx = as_batch_index(idx)
         for name in target._array_fields():
             setattr(target, name, getattr(self, name)[idx])
         target.spawn_controller = self.spawn_controller.select_batch_elements(
@@ -346,14 +347,14 @@ class CompoundNPCController(NPCController):
     def extend(self, n, in_place=True):
         target = self if in_place else self.copy()
         NPCController.extend(target, n, in_place=True)
-        target.controller_indices = jnp.repeat(self.controller_indices, n, axis=0)
+        target.controller_indices = host_repeat(self.controller_indices, n)
         target.controllers = [c.extend(n, in_place=False) for c in self.controllers]
         return target
 
     def select_batch_elements(self, idx, in_place=True):
         target = self if in_place else self.copy()
         NPCController.select_batch_elements(target, idx, in_place=True)
-        idx = jnp.asarray(idx)
+        idx = as_batch_index(idx)
         target.controller_indices = self.controller_indices[idx]
         target.controllers = [c.select_batch_elements(idx, in_place=False)
                               for c in self.controllers]
@@ -652,7 +653,7 @@ class Simulator:
             other = self.copy()
             other.extend(n, in_place=True)
             return other
-        enlarge = lambda x: jnp.repeat(x, n, axis=0)
+        enlarge = lambda x: host_repeat(x, n)
         self.road_mesh = self.road_mesh.expand(n)
         self.agent_size = enlarge(self.agent_size)
         self.agent_type = enlarge(self.agent_type)
@@ -683,7 +684,7 @@ class Simulator:
             other = self.copy()
             other.select_batch_elements(idx, in_place=True)
             return other
-        idx = jnp.asarray(idx)
+        idx = as_batch_index(idx)
         sel = lambda x: x[idx]
         self.road_mesh = self.road_mesh[idx]
         self.agent_size = sel(self.agent_size)
@@ -820,6 +821,18 @@ class Simulator:
         control = (self.traffic_controls or {}).get('traffic_light')
         assert control is not None, "no 'traffic_light' control to schedule"
         control.set_schedule(schedule, dt=float(self.kinematic_model.dt))
+        # apply the schedule at the CURRENT time too: a render or violation
+        # check before the first step must already see FSM-driven lights,
+        # not the control's default state (the advance only runs in step)
+        current = self.state.traffic_control_state.get('traffic_light')
+        if current is not None and schedule is not None:
+            # replay -> schedule order holds at setup time too
+            now = control.advance(current, self.internal_time)
+            self.state = dataclasses.replace(
+                self.state, traffic_control_state={
+                    **self.state.traffic_control_state,
+                    'traffic_light': now})
+            control.state = now
 
     def get_traffic_light_state(self) -> Optional[jnp.ndarray]:
         return self.state.traffic_control_state.get('traffic_light')

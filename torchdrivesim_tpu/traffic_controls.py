@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from torchdrivesim_tpu.utils import as_batch_index
+
 from torchdrivesim_tpu.ops.box import (
     box2corners, box2corners_with_rear_factor, boxes_overlap_sat,
 )
@@ -159,7 +161,7 @@ class BaseTrafficControl:
 
     def select_batch_elements(self, idx, in_place: bool = True) -> "BaseTrafficControl":
         target = self if in_place else self.copy()
-        idx = jnp.asarray(idx)
+        idx = as_batch_index(idx)
         target.pos = self.pos[idx]
         target.corners = self.corners[idx]
         target.mask = self.mask[idx]

@@ -15,6 +15,24 @@ import numpy as np
 Resolution = collections.namedtuple('Resolution', ['width', 'height'])
 
 
+def host_repeat(x, n: int, axis: int = 0):
+    """Batch-multiplying ``repeat`` that preserves residency: host numpy
+    stays numpy (scenario-setup arrays must never migrate to the device,
+    where they would embed as device jit-closure constants and force a
+    D2H fetch at lowering -- see CLAUDE.md), device arrays stay jnp."""
+    return (np if isinstance(x, np.ndarray) else jnp).repeat(x, n, axis=axis)
+
+
+def as_batch_index(idx):
+    """Normalize a batch-selection index preserving residency: lists and
+    numpy arrays become host numpy (which indexes BOTH numpy and jax
+    arrays without a device round trip); jax arrays pass through."""
+    import jax
+    if isinstance(idx, jax.Array):
+        return idx
+    return np.asarray(idx)
+
+
 def normalize_angle(angle):
     """Normalize angle(s) to the <-pi, pi) range. Works on floats and arrays."""
     return (angle + np.pi) % (2 * np.pi) - np.pi
