@@ -276,8 +276,18 @@ def _bake_direction(lanelet_map, distance: Grid2D, cell_size: float,
 
 
 def _points_near_polygon(points: np.ndarray, poly: np.ndarray,
-                         tolerance: float) -> np.ndarray:
-    """Vectorized: inside the polygon (even-odd) or within tolerance of it."""
+                         tolerance: float, chunk: int = 2048) -> np.ndarray:
+    """Vectorized: inside the polygon (even-odd) or within tolerance of it.
+
+    Points are processed in chunks: the unchunked (points x edges) float64
+    temporaries on a long rural lanelet (60k bbox cells x 800 boundary
+    verts) reached several GB and thrashed memory -- one such lanelet cost
+    429 s of the Town07 bake; chunked it is ~2 s."""
+    if len(points) > chunk:
+        return np.concatenate([
+            _points_near_polygon(points[s:s + chunk], poly, tolerance, chunk)
+            for s in range(0, len(points), chunk)])
+    points = np.asarray(points, np.float64)
     x = points[:, 0][:, None]
     y = points[:, 1][:, None]
     x1 = poly[:, 0][None]
@@ -302,8 +312,15 @@ def _points_near_polygon(points: np.ndarray, poly: np.ndarray,
     return inside | (d <= tolerance)
 
 
-def _polyline_directions_at(polyline: np.ndarray, points: np.ndarray) -> np.ndarray:
-    """Direction of the polyline segment nearest to each query point."""
+def _polyline_directions_at(polyline: np.ndarray, points: np.ndarray,
+                            chunk: int = 2048) -> np.ndarray:
+    """Direction of the polyline segment nearest to each query point.
+    Chunked over points for the same memory reason as
+    :func:`_points_near_polygon`."""
+    if len(points) > chunk:
+        return np.concatenate([
+            _polyline_directions_at(polyline, points[s:s + chunk], chunk)
+            for s in range(0, len(points), chunk)])
     a = polyline[:-1][None]
     b = polyline[1:][None]
     ab = b - a
