@@ -334,3 +334,39 @@ def test_extend_and_select_preserve_host_arrays():
     for n in host_npc:
         assert isinstance(getattr(sel.npc_controller, n), _np.ndarray), n
     assert sel.batch_size == 2
+
+
+def test_compound_npc_controller_routes_by_index():
+    """`CompoundNPCController` (ref: `simulator.py:206-277`) merges
+    sub-controller outputs per NPC slot: replay-routed slots follow the
+    recorded trajectory, static-routed slots hold their state."""
+    import numpy as _np
+    from torchdrivesim_tpu.simulator import (CompoundNPCController,
+                                             NPCController, ReplayController)
+    B, N, T = 2, 3, 4
+    rng = _np.random.RandomState(0)
+    size = _np.full((B, N, 2), 2.0, _np.float32)
+    static_state = rng.randn(B, N, 4).astype(_np.float32)
+    traj = rng.randn(B, N, T, 4).astype(_np.float32)
+    static = NPCController(size, static_state)
+    replay = ReplayController(size, traj)
+    # slot 0 -> static, slots 1,2 -> replay
+    idx = _np.asarray([[0, 1, 1]] * B)
+    comp = CompoundNPCController([static, replay], idx)
+
+    state0 = jnp.asarray(comp.initial_npc_state)
+    mask0 = jnp.asarray(comp.initial_npc_present_mask)
+    for t in range(1, T + 1):
+        s, m = comp.advance(state0, mask0, t)
+        s = np.asarray(s)
+        np.testing.assert_allclose(s[:, 0], static_state[:, 0], atol=1e-6,
+                                   err_msg='static slot must hold')
+        np.testing.assert_allclose(s[:, 1:], traj[:, 1:, t % T], atol=1e-6,
+                                   err_msg=f'replay slots must follow t={t}')
+        assert np.asarray(m).shape == (B, N)
+
+    # batch ops keep routing intact
+    big = comp.extend(2, in_place=False)
+    assert big.controller_indices.shape == (2 * B, N)
+    sel = big.select_batch_elements(np.asarray([0, 3]), in_place=False)
+    assert sel.controller_indices.shape == (2, N)
