@@ -226,6 +226,17 @@ def _bake_direction(lanelet_map, distance: Grid2D, cell_size: float,
     origin = np.asarray(distance.origin, dtype=np.float64)
     h, w = distance.data.shape[0], distance.data.shape[1]
     k = DIRECTION_LAYERS
+
+    # C++ fast path (same semantics, validated cell-for-cell in tests);
+    # the numpy loop below is the always-available fallback
+    from torchdrivesim_tpu.native import bake_direction_native
+    packed_native = bake_direction_native(lanelet_map, origin, cell_size,
+                                          h, w, tolerance, k)
+    if packed_native is not None:
+        return Grid2D(data=packed_native[..., None],
+                      origin=np.asarray(origin, dtype=np.float32),
+                      cell_size=float(cell_size))
+
     cos_arr = np.zeros((h, w, k), dtype=np.float32)
     sin_arr = np.zeros((h, w, k), dtype=np.float32)
     valid = np.zeros((h, w, k), dtype=np.float32)
