@@ -180,3 +180,39 @@ def test_extend_and_select():
     np.testing.assert_allclose(np.asarray(m.params.lr)[:, 0], [1., 1., 2., 2.])
     m.select_batch_elements(jnp.asarray([3, 0]))
     np.testing.assert_allclose(np.asarray(m.params.lr)[:, 0], [2., 1.])
+
+
+def test_nan_lr_does_not_poison_selected_gradients():
+    """Compound dispatch evaluates EVERY model on every agent; a pedestrian's
+    NaN lr (ref: `behavior/iai.py:113`) flows through the bicycle branch, and
+    without the lr sanitization in `_bicycle_core` the NaN would poison the
+    other branch's gradients through jnp.where (a real bug caught by map-scale
+    probing)."""
+    dt = 0.1
+    lr = jnp.asarray([[1.5, jnp.nan]])      # agent 1 is a pedestrian
+    params = K.KinematicParams(lr=lr, dt=dt)
+    ids = jnp.asarray([[K.BICYCLE, K.SIMPLE]])
+    state = jnp.asarray([[[0., 0., 0., 2.], [5., 5., 1., 1.]]])
+
+    def loss(action):
+        out = K.step(state, action, params, model_ids=ids)
+        return jnp.sum(out ** 2)
+
+    action = jnp.asarray([[[0.2, 0.1, 0., 0.], [0.1, -0.1, 0.05, 0.02]]])
+    g = jax.grad(loss)(action)
+    assert np.isfinite(np.asarray(g)).all(), np.asarray(g)
+    out = K.step(state, action, params, model_ids=ids)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_step_with_zero_agents():
+    """A=0 must trace and run (degenerate scenes appear when batching maps
+    with no NPCs)."""
+    state = jnp.zeros((2, 0, 4))
+    action = jnp.zeros((2, 0, 2))
+    params = K.KinematicParams(lr=jnp.ones((2, 0)), dt=0.1)
+    out = K.step(state, action, params, single_model=K.BICYCLE)
+    assert out.shape == (2, 0, 4)
+    out2 = K.step(state, jnp.zeros((2, 0, 4)), params,
+                  model_ids=jnp.zeros((2, 0), jnp.int32))
+    assert out2.shape == (2, 0, 4)
