@@ -159,3 +159,43 @@ def test_get_all_intersections():
     assert np.all(np.tril(m) == 0), "upper triangular only"
     ego = get_all_intersections(rects, ego_idx=0)
     np.testing.assert_array_equal(ego, [1.0, 0.0])
+
+
+def test_point_mesh_face_distance_reductions():
+    """Reference wrapper semantics (`infractions.py:24-83`): squared L2 to
+    the closest face, threshold-after-weighting, keepdim reductions."""
+    from torchdrivesim_tpu.infractions import point_mesh_face_distance
+    from torchdrivesim_tpu.mesh import BaseMesh
+    # one unit right triangle at the origin, batch of 2
+    verts = jnp.asarray([[[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]])
+    verts = jnp.tile(verts, (2, 1, 1))
+    faces = jnp.tile(jnp.asarray([[[0, 1, 2]]]), (2, 1, 1))
+    mesh = BaseMesh(verts=verts, faces=faces)
+    # point on the mesh -> 0; point at (2, 0) -> squared distance 1
+    points = jnp.asarray([[[0.25, 0.25], [2.0, 0.0]],
+                          [[3.0, 0.0], [0.0, 0.0]]])
+    d = point_mesh_face_distance(mesh, points, reduction='none')
+    np.testing.assert_allclose(np.asarray(d), [[0.0, 1.0], [4.0, 0.0]],
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(point_mesh_face_distance(mesh, points)), [[1.0], [4.0]],
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(point_mesh_face_distance(mesh, points, reduction='mean')),
+        [[0.5], [2.0]], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(point_mesh_face_distance(mesh, points, reduction='max')),
+        [[1.0], [4.0]], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(point_mesh_face_distance(mesh, points, reduction='min')),
+        [[0.0], [0.0]], atol=1e-6)
+    # weighted divides by cloud size BEFORE the threshold is applied
+    w = point_mesh_face_distance(mesh, points, weighted=True, threshold=0.6)
+    np.testing.assert_allclose(np.asarray(w), [[0.0], [2.0]], atol=1e-6)
+    # 3D points route through the reference-shaped pure path
+    verts3 = jnp.concatenate([verts, jnp.zeros_like(verts[..., :1])], -1)
+    mesh3 = BaseMesh(verts=verts3, faces=faces)
+    points3 = jnp.concatenate([points, jnp.zeros_like(points[..., :1])], -1)
+    d3 = point_mesh_face_distance(mesh3, points3, reduction='none')
+    np.testing.assert_allclose(np.asarray(d3), [[0.0, 1.0], [4.0, 0.0]],
+                               atol=1e-5)

@@ -228,6 +228,57 @@ def compute_collision_matrix(all_boxes: jnp.ndarray, mask: jnp.ndarray,
 # Reference-shaped host/parity helpers
 # ----------------------------------------------------------------------------
 
+def point_mesh_face_distance(mesh: BaseMesh, points: jnp.ndarray,
+                             reduction: str = 'sum', weighted: bool = False,
+                             threshold: float = 0.0) -> jnp.ndarray:
+    """
+    Distance between a batch of point clouds and a batch of meshes: squared
+    L2 from each point to its closest face, reduced across points. The JAX
+    analogue of the reference's pytorch3d wrapper (`infractions.py:24-83`),
+    with padded (B, P, D) points standing in for packed Pointclouds and a
+    `BaseMesh` for Meshes.
+
+    Args:
+        mesh: batch of B meshes (2D or 3D vertices).
+        points: (B, P, 2) or (B, P, 3) query points.
+        reduction: 'none' | 'sum' | 'mean' | 'min' | 'max'.
+        weighted: divide each point's distance by the cloud size P.
+        threshold: distances <= this are zeroed (torch ``F.threshold``
+            semantics, applied after weighting, as in the reference).
+    Returns:
+        (B, P) squared distances if reduction is 'none', else (B, 1).
+    """
+    batch_size, num_points = points.shape[:2]
+    dim = points.shape[-1]
+    if num_points == 0 or mesh.faces_count == 0:
+        d2 = jnp.zeros((batch_size, num_points), points.dtype)
+    else:
+        verts = mesh.verts[..., :dim]
+        tris = jnp.take_along_axis(
+            verts[:, :, None, :],
+            mesh.faces.astype(jnp.int32)[..., None], axis=1)
+        if dim == 2:
+            d2 = point_to_triangles_distance_sq_chunked(points, tris)
+        else:
+            d2 = jax.vmap(point_to_mesh_distance_pt,
+                          in_axes=(1, None), out_axes=1)(points, tris)[..., 0]
+    if weighted:
+        d2 = d2 / max(num_points, 1)
+    d2 = jnp.nan_to_num(d2, nan=0.0)
+    d2 = jnp.where(d2 > threshold, d2, 0.0)
+    if reduction == 'none':
+        return d2
+    if reduction == 'sum':
+        return d2.sum(axis=-1, keepdims=True)
+    if reduction == 'mean':
+        return d2.mean(axis=-1, keepdims=True)
+    if reduction == 'min':
+        return d2.min(axis=-1, keepdims=True)
+    if reduction == 'max':
+        return d2.max(axis=-1, keepdims=True)
+    raise ValueError(f"unknown reduction: {reduction!r}")
+
+
 def point_to_mesh_distance_pt(points: jnp.ndarray, tris: jnp.ndarray,
                               threshold: float = 0.0) -> jnp.ndarray:
     """
