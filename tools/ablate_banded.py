@@ -134,11 +134,110 @@ def main():
                                         sq, qz, qc, stt, tz, tc, qm, tm)
         return jnp.sum(img)
 
+    # --- fine-grained mask-cost isolation (the sortmask2 - sort_only delta
+    # is ~0.34 ms at B=256 while the mask math looks trivial; these tails
+    # bisect it: extras riding the sort -> shift tree -> strided slice ->
+    # band compare, plus an MXU block-diagonal alternative) ---
+    from torchdrivesim_tpu.ops.rasterize import (
+        _prim_screen_stats, _sort_prim_arrays)
+    big = jnp.float32(3e38)
+
+    def _sorted_with_stats(cn, zz, cc):
+        rmin, rmax, alive = _prim_screen_stats(cn, RES)
+        cn, zz, cc, (rmin, rmax, af) = _sort_prim_arrays(
+            jnp.where(alive, rmin, big), cn, zz, cc,
+            extras=(rmin, rmax, alive.astype(jnp.float32)))
+        return cn, zz, cc, rmin, rmax, af
+
+    def _tree(rmin, rmax, af, chunk=8):
+        n = rmin.shape[1]
+        n_chunks = max(1, -(-n // chunk))
+        pad = n_chunks * chunk - n
+        lo_r = jnp.where(af > 0.5, rmin, 1e9)
+        hi_r = jnp.where(af > 0.5, rmax, -1e9)
+        if pad:
+            lo_r = jnp.pad(lo_r, ((0, 0), (0, pad)), constant_values=1e9)
+            hi_r = jnp.pad(hi_r, ((0, 0), (0, pad)), constant_values=-1e9)
+        off = 1
+        while off < chunk:
+            lo_r = jnp.minimum(lo_r, jnp.pad(
+                lo_r[:, off:], ((0, 0), (0, off)), constant_values=1e9))
+            hi_r = jnp.maximum(hi_r, jnp.pad(
+                hi_r[:, off:], ((0, 0), (0, off)), constant_values=-1e9))
+            off *= 2
+        return lo_r, hi_r
+
+    def tail_m_extras(args):
+        sq, qz, qc, stt, tz, tc, bg, *_ = args
+        acc = 0.0
+        for cn, zz, cc in ((sq, qz, qc), (stt, tz, tc)):
+            cn, zz, cc, rmin, rmax, af = _sorted_with_stats(cn, zz, cc)
+            acc += (jnp.sum(cn) + jnp.sum(zz) + jnp.sum(cc)
+                    + jnp.sum(rmin) + jnp.sum(rmax) + jnp.sum(af))
+        return acc
+
+    def tail_m_tree(args):
+        sq, qz, qc, stt, tz, tc, bg, *_ = args
+        acc = 0.0
+        for cn, zz, cc in ((sq, qz, qc), (stt, tz, tc)):
+            cn, zz, cc, rmin, rmax, af = _sorted_with_stats(cn, zz, cc)
+            lo_r, hi_r = _tree(rmin, rmax, af)
+            acc += (jnp.sum(cn) + jnp.sum(zz) + jnp.sum(cc)
+                    + jnp.sum(lo_r) + jnp.sum(hi_r))
+        return acc
+
+    def tail_m_slice(args):
+        sq, qz, qc, stt, tz, tc, bg, *_ = args
+        acc = 0.0
+        for cn, zz, cc in ((sq, qz, qc), (stt, tz, tc)):
+            cn, zz, cc, rmin, rmax, af = _sorted_with_stats(cn, zz, cc)
+            lo_r, hi_r = _tree(rmin, rmax, af)
+            acc += (jnp.sum(cn) + jnp.sum(zz) + jnp.sum(cc)
+                    + jnp.sum(lo_r[:, ::8]) + jnp.sum(hi_r[:, ::8]))
+        return acc
+
+    def tail_m_bands(args):
+        sq, qz, qc, stt, tz, tc, bg, *_ = args
+        acc = 0.0
+        band_h = RES / 4
+        for cn, zz, cc in ((sq, qz, qc), (stt, tz, tc)):
+            cn, zz, cc, rmin, rmax, af = _sorted_with_stats(cn, zz, cc)
+            lo_r, hi_r = _tree(rmin, rmax, af)
+            chunk_lo, chunk_hi = lo_r[:, ::8], hi_r[:, ::8]
+            mask = jnp.stack(
+                [(chunk_hi >= j * band_h) & (chunk_lo < (j + 1) * band_h)
+                 for j in range(4)], axis=1)
+            acc += (jnp.sum(cn) + jnp.sum(zz) + jnp.sum(cc)
+                    + jnp.sum(mask.astype(jnp.int32)[:, :, None, :]))
+        return acc
+
+    def tail_m_matmul(args):
+        sq, qz, qc, stt, tz, tc, bg, *_ = args
+        acc = 0.0
+        band_h = RES / 4
+        bands_lo = jnp.arange(4, dtype=jnp.float32)[None, :, None] * band_h
+        for cn, zz, cc in ((sq, qz, qc), (stt, tz, tc)):
+            cn, zz, cc, rmin, rmax, af = _sorted_with_stats(cn, zz, cc)
+            n = rmin.shape[1]
+            n_chunks = max(1, -(-n // 8))
+            lo = jnp.where(af > 0.5, rmin, 1e9)[:, None, :]   # (B, 1, N)
+            hi = jnp.where(af > 0.5, rmax, -1e9)[:, None, :]
+            hits = ((hi >= bands_lo) & (lo < bands_lo + band_h))  # (B, J, N)
+            blockdiag = (jnp.arange(n)[:, None] // 8
+                         == jnp.arange(n_chunks)[None, :]).astype(jnp.float32)
+            m = jnp.matmul(hits.astype(jnp.float32), blockdiag)  # (B, J, C)
+            mask = (m > 0).astype(jnp.int32)[:, :, None, :]
+            acc += (jnp.sum(cn) + jnp.sum(zz) + jnp.sum(cc) + jnp.sum(mask))
+        return acc
+
     tails = {'gen': tail_gen, 'gen_nowarp': tail_gen_nowarp,
              'sort_only': tail_sort_only, 'old': tail_old,
              'sortmask': tail_sortmask, 'banded': tail_banded,
              'fused': tail_fused, 'sortmask2': tail_sortmask2,
-             'fused2': tail_fused2}
+             'fused2': tail_fused2,
+             'm_extras': tail_m_extras, 'm_tree': tail_m_tree,
+             'm_slice': tail_m_slice, 'm_bands': tail_m_bands,
+             'm_matmul': tail_m_matmul}
     which = sys.argv[1:] or list(tails)
 
     for name in which:
