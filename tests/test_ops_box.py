@@ -164,3 +164,42 @@ def test_iou_matrix_nograd():
     np.testing.assert_allclose(iou[0, 1], 4 / 12, atol=1e-4)
     np.testing.assert_allclose(iou[0, 2], 0.0, atol=1e-6)
     np.testing.assert_allclose(iou, iou.T, atol=1e-5)
+
+
+def test_boxes_overlap_sat_cross_matches_broadcast():
+    """The unrolled all-pairs SAT must be bit-identical to broadcasting the
+    generic op over the pair grid, including touching-edge (no overlap) and
+    map-scale-coordinate cases."""
+    from torchdrivesim_tpu.ops.box import (
+        box2corners, boxes_overlap_sat, boxes_overlap_sat_cross)
+    rng = np.random.RandomState(7)
+    b, a, n = 3, 6, 5
+    boxes1 = np.stack([
+        rng.uniform(-30, 30, (b, a)) + 400.0,
+        rng.uniform(-30, 30, (b, a)) - 250.0,
+        rng.uniform(1, 6, (b, a)),
+        rng.uniform(1, 3, (b, a)),
+        rng.uniform(-np.pi, np.pi, (b, a)),
+    ], axis=-1).astype(np.float32)
+    boxes2 = np.stack([
+        rng.uniform(-30, 30, (b, n)) + 400.0,
+        rng.uniform(-30, 30, (b, n)) - 250.0,
+        rng.uniform(2, 12, (b, n)),
+        rng.uniform(1, 4, (b, n)),
+        rng.uniform(-np.pi, np.pi, (b, n)),
+    ], axis=-1).astype(np.float32)
+    # force some exact touches and exact overlaps
+    boxes2[0, 0] = boxes1[0, 0]
+    boxes2[0, 1] = boxes1[0, 1] + np.asarray([boxes1[0, 1, 2], 0, 0, 0, 0],
+                                             np.float32)
+    boxes2[0, 1, 4] = boxes1[0, 1, 4] = 0.0
+    c1 = box2corners(jnp.asarray(boxes1))
+    c2 = box2corners(jnp.asarray(boxes2))
+    got = np.asarray(boxes_overlap_sat_cross(c1, c2))
+    want = np.asarray(boxes_overlap_sat(
+        jnp.broadcast_to(c1[:, :, None], (b, a, n, 4, 2)),
+        jnp.broadcast_to(c2[:, None], (b, a, n, 4, 2))))
+    assert got.shape == (b, a, n)
+    np.testing.assert_array_equal(got, want)
+    assert got[0, 0, 0]            # identical boxes overlap
+    assert not got[0, 1, 1]        # exactly touching edges do not

@@ -224,6 +224,54 @@ def boxes_overlap_sat(corners1: jnp.ndarray, corners2: jnp.ndarray) -> jnp.ndarr
     return ~sep
 
 
+def boxes_overlap_sat_cross(corners1: jnp.ndarray,
+                            corners2: jnp.ndarray) -> jnp.ndarray:
+    """
+    All-pairs :func:`boxes_overlap_sat`: (B, A, 4, 2) x (B, N, 4, 2) ->
+    (B, A, N) bool, same separating-axis semantics (touching edges count as
+    NO overlap).
+
+    The generic op broadcast to (B, A, N, 4, 2) leaves the tiny 4x2 minor
+    dims in the vreg tile, padding each (8, 128) register to ~1/16
+    occupancy -- measured ~0.2 ms/step at B=256, A=20, N=24. Here the
+    corner/axis loops unroll in Python so every large tensor is (B, A, N)
+    (or smaller), and the self-projections never materialize the pair grid
+    at all.
+    """
+    c1x, c1y = corners1[..., 0], corners1[..., 1]        # (B, A, 4)
+    c2x, c2y = corners2[..., 0], corners2[..., 1]        # (B, N, 4)
+
+    def separated_on(ax, ay, own_x, own_y, other_x, other_y, own_first):
+        # ax/ay: (B, M); own corners (B, M, 4); other corners (B, K, 4).
+        # Projection intervals: own is (B, M), other is (B, M, K).
+        po = [ax * own_x[..., i] + ay * own_y[..., i] for i in range(4)]
+        own_lo = jnp.minimum(jnp.minimum(po[0], po[1]),
+                             jnp.minimum(po[2], po[3]))[..., None]
+        own_hi = jnp.maximum(jnp.maximum(po[0], po[1]),
+                             jnp.maximum(po[2], po[3]))[..., None]
+        a2, y2 = ax[..., None], ay[..., None]            # (B, M, 1)
+        pt = [a2 * other_x[:, None, :, i] + y2 * other_y[:, None, :, i]
+              for i in range(4)]                         # 4 x (B, M, K)
+        oth_lo = jnp.minimum(jnp.minimum(pt[0], pt[1]),
+                             jnp.minimum(pt[2], pt[3]))
+        oth_hi = jnp.maximum(jnp.maximum(pt[0], pt[1]),
+                             jnp.maximum(pt[2], pt[3]))
+        sep = (own_hi <= oth_lo) | (oth_hi <= own_lo)    # (B, M, K)
+        return sep if own_first else jnp.swapaxes(sep, -1, -2)
+
+    sep = None
+    for k in range(2):                                   # 2 unique normals
+        e_x = c1x[..., k + 1] - c1x[..., k]
+        e_y = c1y[..., k + 1] - c1y[..., k]
+        s = separated_on(-e_y, e_x, c1x, c1y, c2x, c2y, True)
+        sep = s if sep is None else sep | s
+    for k in range(2):
+        e_x = c2x[..., k + 1] - c2x[..., k]
+        e_y = c2y[..., k + 1] - c2y[..., k]
+        sep = sep | separated_on(-e_y, e_x, c2x, c2y, c1x, c1y, False)
+    return ~sep
+
+
 def iou_differentiable(box1: jnp.ndarray, box2: jnp.ndarray) -> jnp.ndarray:
     """
     Differentiable approximate IoU of oriented boxes

@@ -23,6 +23,7 @@ from torchdrivesim_tpu.utils import as_batch_index
 
 from torchdrivesim_tpu.ops.box import (
     box2corners, box2corners_with_rear_factor, boxes_overlap_sat,
+    boxes_overlap_sat_cross,
 )
 
 #: far-away placeholder for masked stopline corners (ref: `traffic_controls.py:33`)
@@ -87,13 +88,11 @@ def red_light_violations(agent_state: jnp.ndarray, light_corners: jnp.ndarray,
     if a == 0 or n == 0 or b == 0:
         return jnp.zeros((b, a), dtype=bool)
     agent_corners = box2corners_with_rear_factor(agent_state, rear_factor)
-    ac = agent_corners[:, :, None]                        # B x A x 1 x 4 x 2
-    lc = light_corners[:, None]                           # B x 1 x N x 4 x 2
-    ac = jnp.broadcast_to(ac, (b, a, n, 4, 2))
-    lc = jnp.broadcast_to(lc, (b, a, n, 4, 2))
     # SAT boolean overlap == (intersection area > 0), far cheaper than the
-    # polygon-clipping pipeline the reference evaluates here
-    overlap = boxes_overlap_sat(ac, lc)                   # B x A x N
+    # polygon-clipping pipeline the reference evaluates here; the unrolled
+    # cross-product form keeps every large tensor (B, A, N) instead of
+    # padding (B, A, N, 4, 2) vreg tiles
+    overlap = boxes_overlap_sat_cross(agent_corners, light_corners)
     is_red = (light_state == red_index)[:, None]          # B x 1 x N
     return jnp.any(overlap & is_red, axis=-1)
 
