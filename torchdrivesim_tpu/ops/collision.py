@@ -79,9 +79,13 @@ def collision_matrix_with_discs(boxes: jnp.ndarray, num_discs: int = 5) -> jnp.n
     a = boxes.shape[-2]
     flat = centers.reshape(batch + (a * num_discs, 2))
     # pairwise squared distances between all discs of all agents; explicit
-    # broadcast subtraction (K=2 batched matmuls lower poorly on TPU)
-    diff = flat[..., :, None, :] - flat[..., None, :, :]
-    d2 = jnp.sum(diff * diff, axis=-1)
+    # broadcast subtraction (K=2 batched matmuls lower poorly on TPU), with
+    # x/y as separate (..., AD, AD) tensors -- a trailing size-2 coordinate
+    # dim on the big pair grid would pad the vreg lane dimension 64x
+    fx, fy = flat[..., 0], flat[..., 1]
+    dx = fx[..., :, None] - fx[..., None, :]
+    dy = fy[..., :, None] - fy[..., None, :]
+    d2 = dx * dx + dy * dy
     d2 = d2.reshape(batch + (a, num_discs, a, num_discs))
     d2 = jnp.min(jnp.min(d2, axis=-1), axis=-2)  # (..., A, A)
     d = jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-12)
