@@ -17,7 +17,8 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from torchdrivesim_tpu.utils import line_circle_intersection
+from torchdrivesim_tpu.utils import (
+    line_circle_intersection, line_circle_intersection_xy)
 
 
 @dataclass
@@ -115,11 +116,17 @@ class StandardSensingObservationNoise(ObservationNoise):
         b, a, e = base_mask.shape
         idx = jnp.arange(a)
         ego_pos = states[:, idx, idx, :2]                 # B,A,2
-        ego = jnp.broadcast_to(ego_pos[:, :, None, None], (b, a, e, e, 2))
-        target = jnp.broadcast_to(states[:, :, :, None, :2], (b, a, e, e, 2))
-        occluder = jnp.broadcast_to(states[:, :, None, :, :2], (b, a, e, e, 2))
-        radius = jnp.broadcast_to(sizes[:, :, None, :, 1:2], (b, a, e, e, 1)) / 2
-        occluding = line_circle_intersection(ego, target, occluder, radius)[..., 0]
+        # x/y component planes so the (B, A, E, E) pair grid never carries a
+        # trailing size-2 dim (64x vreg-lane padding); identical math
+        ego_x = ego_pos[..., 0][:, :, None, None]         # B,A,1,1
+        ego_y = ego_pos[..., 1][:, :, None, None]
+        tgt_x = states[..., 0][:, :, :, None]             # B,A,E,1
+        tgt_y = states[..., 1][:, :, :, None]
+        occ_x = states[..., 0][:, :, None, :]             # B,A,1,E
+        occ_y = states[..., 1][:, :, None, :]
+        radius = sizes[..., 1][:, :, None, :] / 2         # B,A,1,E
+        occluding = line_circle_intersection_xy(
+            ego_x, ego_y, tgt_x, tgt_y, occ_x, occ_y, radius)
         # entities don't occlude themselves (ref: `observation_noise.py:118`)
         eye = jnp.eye(e, dtype=bool)[None, None]
         occluding = occluding & ~eye

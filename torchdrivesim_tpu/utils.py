@@ -180,6 +180,31 @@ def line_circle_intersection(p1: jnp.ndarray, p2: jnp.ndarray,
     return (has_intersection & seg_hit)[..., None]
 
 
+def line_circle_intersection_xy(p1x, p1y, p2x, p2y, cx, cy, radius):
+    """
+    :func:`line_circle_intersection` with unrolled x/y component planes:
+    every operand broadcasts to the OUTPUT shape only, so callers testing a
+    large pair grid (e.g. occlusion culling's (B, A, E, E)) never carry a
+    trailing size-2 coordinate dim that would pad the vreg lane dimension
+    64x. Same math, same operation order; returns bool (no trailing 1).
+    """
+    dx, dy = p2x - p1x, p2y - p1y
+    fx, fy = p1x - cx, p1y - cy
+    a = dx * dx + dy * dy
+    b = 2 * (fx * dx + fy * dy)
+    c = fx * fx + fy * fy - radius * radius
+    discriminant = b * b - 4 * a * c
+    has_intersection = discriminant >= 0
+    sqrt_disc = jnp.sqrt(jnp.clip(discriminant, a_min=0))
+    a_safe = jnp.where(jnp.abs(a) < 1e-8, 1e-8, a)
+    t1 = (-b - sqrt_disc) / (2 * a_safe)
+    t2 = (-b + sqrt_disc) / (2 * a_safe)
+    t_min = jnp.minimum(t1, t2)
+    t_max = jnp.maximum(t1, t2)
+    seg_hit = (t_min <= 1) & (t_max >= 0)
+    return has_intersection & seg_hit
+
+
 def merge_dicts(ds: List[Dict]) -> Dict:
     """
     Merge a sequence of dicts; later entries overwrite earlier ones,
