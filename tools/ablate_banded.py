@@ -230,7 +230,25 @@ def main():
             acc += (jnp.sum(cn) + jnp.sum(zz) + jnp.sum(cc) + jnp.sum(mask))
         return acc
 
+    def tail_fused_noprims(args):
+        # all-zero occupancy masks: every prim chunk is skipped via @pl.when,
+        # so this measures the kernel's warp + composite + fixed cost; the
+        # delta vs 'fused2' is the in-kernel prim math
+        from torchdrivesim_tpu.ops.pallas_fused import render_prims_fused_pallas
+        from torchdrivesim_tpu.ops.rasterize import (
+            sort_prims_rowmajor_with_masks)
+        sq, qz, qc, stt, tz, tc, cam_xy, cam_sc, scale = (
+            args[0], args[1], args[2], args[3], args[4], args[5],
+            args[7], args[8], args[9])
+        sq, qz, qc, qm = sort_prims_rowmajor_with_masks(sq, qz, qc, RES, 56, 4)
+        stt, tz, tc, tm = sort_prims_rowmajor_with_masks(stt, tz, tc, RES, 56, 4)
+        img = render_prims_fused_pallas(mip, cam_xy, cam_sc, scale, bg_color,
+                                        sq, qz, qc, stt, tz, tc,
+                                        qm * 0, tm * 0)
+        return jnp.sum(img)
+
     tails = {'gen': tail_gen, 'gen_nowarp': tail_gen_nowarp,
+             'fused_noprims': tail_fused_noprims,
              'sort_only': tail_sort_only, 'old': tail_old,
              'sortmask': tail_sortmask, 'banded': tail_banded,
              'fused': tail_fused, 'sortmask2': tail_sortmask2,
