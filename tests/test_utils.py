@@ -79,3 +79,25 @@ def test_line_circle_intersection():
 
 def test_merge_dicts_later_wins():
     assert merge_dicts([{'a': 1}, {'a': 2, 'b': 3}]) == {'a': 2, 'b': 3}
+
+
+def test_line_circle_intersection_xy_matches_generic():
+    """The component-plane variant must agree with the reference-shaped op
+    on random segments/circles including degenerate (point) segments."""
+    import jax.numpy as jnp
+    from torchdrivesim_tpu.utils import (
+        line_circle_intersection, line_circle_intersection_xy)
+    rng = np.random.RandomState(3)
+    p1 = rng.uniform(-50, 50, (64, 2)).astype(np.float32)
+    p2 = rng.uniform(-50, 50, (64, 2)).astype(np.float32)
+    p2[:8] = p1[:8]                       # degenerate point segments
+    c = rng.uniform(-50, 50, (64, 2)).astype(np.float32)
+    r = rng.uniform(0.1, 10, (64, 1)).astype(np.float32)
+    want = np.asarray(line_circle_intersection(
+        jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(c), jnp.asarray(r)))[..., 0]
+    got = np.asarray(line_circle_intersection_xy(
+        jnp.asarray(p1[:, 0]), jnp.asarray(p1[:, 1]),
+        jnp.asarray(p2[:, 0]), jnp.asarray(p2[:, 1]),
+        jnp.asarray(c[:, 0]), jnp.asarray(c[:, 1]), jnp.asarray(r[:, 0])))
+    np.testing.assert_array_equal(got, want)
+    assert want.any() and not want.all()
