@@ -427,3 +427,23 @@ def test_il_40step_rollout_gradcheck():
     fd = (lp - lm) / (2 * eps)
     dd = float(np.sum(gn * u))
     np.testing.assert_allclose(dd, fd, rtol=0.05, atol=1e-4)
+
+
+def test_sorted_masks_match_exact_band_chunk_masks():
+    """sort_prims_rowmajor_with_masks' matmul-built occupancy must equal
+    prim_band_chunk_masks (the exact per-prim formulation) on the SORTED
+    prims, for counts below and above the cap."""
+    from torchdrivesim_tpu.ops.rasterize import (
+        prim_band_chunk_masks, sort_prims_rowmajor_with_masks)
+    rng = np.random.RandomState(11)
+    res, n_bands, cap = 128, 4, 16
+    for n in (5, 12, 40):
+        base = rng.uniform(-40, 168, (3, n, 1, 2)).astype(np.float32)
+        quad = rng.uniform(2, 12, (3, n, 4, 2)).astype(np.float32)
+        corners = jnp.asarray(base + quad)
+        z = jnp.asarray(rng.uniform(0, 15, (3, n)).astype(np.float32))
+        color = jnp.asarray(rng.uniform(0, 1, (3, n, 3)).astype(np.float32))
+        sc, sz, scol, mask = sort_prims_rowmajor_with_masks(
+            corners, z, color, res, cap, n_bands)
+        want = prim_band_chunk_masks(sc, res, n_bands)
+        np.testing.assert_array_equal(np.asarray(mask), np.asarray(want))

@@ -288,36 +288,23 @@ def sort_prims_rowmajor_with_masks(corners: jnp.ndarray, z: jnp.ndarray,
     live = rank < jnp.sum(alive, axis=1, keepdims=True)
     corners = jnp.where(live[..., None, None], corners, 0.0)
 
-    # Chunk-hull occupancy via a lane-shift reduction tree. The exact
-    # per-prim formulation ((B, J, N) hits -> reshape (B, J, C, 8) ->
-    # any over the trailing lanes) costs ~0.27 ms/step at batch 256 in
-    # cross-lane relayouts; a log2(chunk) min/max shift tree + strided
-    # slice computes each chunk's row-interval hull with lane-local ops.
-    # The hull is a conservative superset of the exact mask (a chunk whose
-    # prims straddle a band it doesn't touch gets evaluated and contributes
-    # nothing), so kernel output is unchanged.
-    pad = n_chunks * chunk - keep_n
-    lo_r = jnp.where(alive, rmin, 1e9)
-    hi_r = jnp.where(alive, rmax, -1e9)
-    if pad:
-        lo_r = jnp.pad(lo_r, ((0, 0), (0, pad)), constant_values=1e9)
-        hi_r = jnp.pad(hi_r, ((0, 0), (0, pad)), constant_values=-1e9)
-    off = 1
-    while off < chunk:
-        lo_r = jnp.minimum(
-            lo_r, jnp.pad(lo_r[:, off:], ((0, 0), (0, off)),
-                          constant_values=1e9))
-        hi_r = jnp.maximum(
-            hi_r, jnp.pad(hi_r[:, off:], ((0, 0), (0, off)),
-                          constant_values=-1e9))
-        off *= 2
-    chunk_lo = lo_r[:, ::chunk]                             # (B, C)
-    chunk_hi = hi_r[:, ::chunk]
+    # EXACT per-(band, chunk) occupancy via an MXU block-diagonal reduction:
+    # per-prim band hits (B, J, N) contract with a static (N, C) 0/1
+    # prim-to-chunk matrix, so the chunk-OR is one tiny matmul with no
+    # cross-lane relayout (the old reshape-(B,J,C,8)-any lowered with
+    # ~0.27 ms of relayouts; a lane-shift hull tree cost ~0.1 ms and was
+    # only a conservative superset -- straddling chunks got evaluated for
+    # nothing; this form measured at noise level in tools/ablate_banded.py
+    # 'm_matmul').
     band_h = res / n_bands
-    mask = jnp.stack(
-        [(chunk_hi >= j * band_h) & (chunk_lo < (j + 1) * band_h)
-         for j in range(n_bands)], axis=1)                  # (B, J, C)
-    return corners, z, color, mask.astype(jnp.int32)[:, :, None, :]
+    bands_lo = jnp.arange(n_bands, dtype=rmin.dtype)[None, :, None] * band_h
+    lo = jnp.where(alive, rmin, 1e9)[:, None, :]            # (B, 1, N)
+    hi = jnp.where(alive, rmax, -1e9)[:, None, :]
+    hits = (hi >= bands_lo) & (lo < bands_lo + band_h)      # (B, J, N)
+    prim_to_chunk = (np.arange(keep_n)[:, None] // chunk
+                     == np.arange(n_chunks)[None, :]).astype(np.float32)
+    m = jnp.matmul(hits.astype(jnp.float32), jnp.asarray(prim_to_chunk))
+    return corners, z, color, (m > 0).astype(jnp.int32)[:, :, None, :]
 
 
 def prim_band_chunk_masks(corners: jnp.ndarray, res: int, n_bands: int,
