@@ -96,6 +96,32 @@ def test_fused_no_prims_is_pure_background(interpret_mode):
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(bg))
 
 
+@pytest.mark.parametrize('res', [128, 64])
+def test_fused_packed_output_matches_float(interpret_mode, res):
+    """``packed_output`` must encode exactly the float path's 8-bit colors:
+    unpack(packed) == round(float_image * 255) for every pixel."""
+    mip, cam_xy, cam_sc, quads, qz, qc, tris, tz, tc = _scene(5)
+    scale = 2.0 / 40.0
+    bg_color = jnp.asarray([0.1, 0.2, 0.3])
+    n_bands = res * res // R.PIXELS_PER_TILE
+    sq, qz, qc = sort_prims_rowmajor(quads, qz, qc, res, 56)
+    st, tz, tc = sort_prims_rowmajor(tris, tz, tc, res, 56)
+    qmask = prim_band_chunk_masks(sq, res, n_bands)
+    tmask = prim_band_chunk_masks(st, res, n_bands)
+
+    args = (mip, cam_xy, cam_sc, scale, bg_color, sq, qz, qc, st, tz, tc,
+            qmask, tmask)
+    as_float = F.render_prims_fused_pallas(*args, res=res)
+    packed = F.render_prims_fused_pallas(*args, res=res, packed_output=True)
+    assert packed.dtype == jnp.int32
+    assert packed.shape == (cam_xy.shape[0], res, res)
+
+    from torchdrivesim_tpu.rendering.jax_renderer import unpack_rgb8_chw
+    got = np.asarray(unpack_rgb8_chw(packed))
+    want = np.round(np.asarray(as_float) * 255.0)
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize('b', [1, 5])
 def test_fused_camera_batching_padding(interpret_mode, b):
     """Batch sizes that don't divide CAMS_PER_PROGRAM exercise the pad path."""

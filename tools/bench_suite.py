@@ -30,6 +30,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _image_sum(img):
+    """Checksum an image output; packed RGB8 decodes lazily (fused by XLA)."""
+    if img.dtype == jnp.int32:
+        from torchdrivesim_tpu.rendering.jax_renderer import unpack_rgb8_chw
+        return jnp.sum(unpack_rgb8_chw(img))
+    return jnp.sum(img)
+
+
 def timed_steps(rollout_fn, state, n_warm=4, n_timed=3):
     # pin the tunneled client's synchronous dispatch mode and end the timed
     # region with a value fetch: async-mode completion signals are
@@ -55,13 +63,13 @@ def config1_simulate():
     # BASELINE config 1 names carla_Town01 (its mesh JSON ships upstream)
     sc = build_benchmark_scenario(map_name='carla_Town01', batch_size=1,
                                   agent_count=20, res=128)
-    step = sc.make_step_fn(render=True, metrics=True)
+    step = sc.make_step_fn(render=True, metrics=True, packed_image=True)
 
     @jax.jit
     def rollout(state):
         def body(s, _):
             s, out = step(s, jnp.zeros((1, 20, 2)))
-            return s, jnp.sum(out['image'])
+            return s, _image_sum(out['image'])
         s, acc = jax.lax.scan(body, state, None, length=100)
         return s, jnp.sum(acc)
 
@@ -146,13 +154,13 @@ def config3_heterogeneous():
         model_assignments=ids.astype(np.int32), params=sim.kinematic_model.params)
     compound.set_state(sim.kinematic_model.get_state())
     sim.kinematic_model = compound
-    step = sc.make_step_fn(render=True, metrics=True)
+    step = sc.make_step_fn(render=True, metrics=True, packed_image=True)
 
     @jax.jit
     def rollout(state):
         def body(s, _):
             s, out = step(s, jnp.zeros((64, 20, 4)))
-            return s, jnp.sum(out['image'])
+            return s, _image_sum(out['image'])
         s, acc = jax.lax.scan(body, state, None, length=500)
         return s, jnp.sum(acc)
 

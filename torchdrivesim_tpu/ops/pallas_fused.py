@@ -45,7 +45,8 @@ CAMS_PER_PROGRAM = 4
 
 def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
                   tcoef_ref, tpk_ref, tex_ref, out_ref, win_ref, sem,
-                  best_ref, tmp_ref, *, res, qp, tp, chunk, n_bands, cams):
+                  best_ref, tmp_ref, *, res, qp, tp, chunk, n_bands, cams,
+                  packed_out=False):
     """``cams`` cameras per program: banded prim winners (flat tiles,
     chunk-masked via ``@pl.when`` as in ``_raster_kernel_prims_masked``),
     then warp + composite in the 2D layout. All window DMAs start before
@@ -66,7 +67,8 @@ def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
         _fused_cameras_2d(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref,
                           qpk_ref, tcoef_ref, tpk_ref, out_ref, win_ref,
                           best_ref, tmp_ref, dmas, res=res, qp=qp, tp=tp,
-                          chunk=chunk, n_bands=n_bands, cams=cams)
+                          chunk=chunk, n_bands=n_bands, cams=cams,
+                          packed_out=packed_out)
         return
 
     for c in range(cams):
@@ -118,18 +120,25 @@ def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
             covered = best < (127 << 24)         # valid ranks <= 126
             bg = bg2d[j * rpb:(j + 1) * rpb, :]
             lo, hi = j * rpb, (j + 1) * rpb
-            r = jnp.where(covered, (best >> 16) & 255, bg & 255)
-            g = jnp.where(covered, (best >> 8) & 255, (bg >> 8) & 255)
-            b = jnp.where(covered, best & 255, (bg >> 16) & 255)
-            out_ref[c, 0, lo:hi, :] = r.astype(jnp.float32) * inv255
-            out_ref[c, 1, lo:hi, :] = g.astype(jnp.float32) * inv255
-            out_ref[c, 2, lo:hi, :] = b.astype(jnp.float32) * inv255
+            if packed_out:
+                # emit 0x00BBGGRR directly: a third of the HBM traffic of
+                # the 3-channel float image, decoded lazily by the consumer
+                prim = (((best >> 16) & 255) | (best & 0xFF00)
+                        | ((best & 255) << 16))
+                out_ref[c, lo:hi, :] = jnp.where(covered, prim, bg)
+            else:
+                r = jnp.where(covered, (best >> 16) & 255, bg & 255)
+                g = jnp.where(covered, (best >> 8) & 255, (bg >> 8) & 255)
+                b = jnp.where(covered, best & 255, (bg >> 16) & 255)
+                out_ref[c, 0, lo:hi, :] = r.astype(jnp.float32) * inv255
+                out_ref[c, 1, lo:hi, :] = g.astype(jnp.float32) * inv255
+                out_ref[c, 2, lo:hi, :] = b.astype(jnp.float32) * inv255
 
 
 def _fused_cameras_2d(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref,
                       qpk_ref, tcoef_ref, tpk_ref, out_ref, win_ref,
                       best_ref, tmp_ref, dmas, *, res, qp, tp, chunk,
-                      n_bands, cams):
+                      n_bands, cams, packed_out=False):
     """Per-camera winner resolution + composite for res < 128 outputs.
 
     Identical winner semantics to the flat path, but the per-band affine
@@ -193,12 +202,17 @@ def _fused_cameras_2d(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref,
                                 dmas[c], tmp_ref=tmp_ref)[:res, :res]
         best = best_ref[:, :]
         covered = best < (127 << 24)             # valid ranks <= 126
-        r = jnp.where(covered, (best >> 16) & 255, bg2d & 255)
-        g = jnp.where(covered, (best >> 8) & 255, (bg2d >> 8) & 255)
-        b = jnp.where(covered, best & 255, (bg2d >> 16) & 255)
-        out_ref[c, 0] = r.astype(jnp.float32) * inv255
-        out_ref[c, 1] = g.astype(jnp.float32) * inv255
-        out_ref[c, 2] = b.astype(jnp.float32) * inv255
+        if packed_out:
+            prim = (((best >> 16) & 255) | (best & 0xFF00)
+                    | ((best & 255) << 16))
+            out_ref[c] = jnp.where(covered, prim, bg2d)
+        else:
+            r = jnp.where(covered, (best >> 16) & 255, bg2d & 255)
+            g = jnp.where(covered, (best >> 8) & 255, (bg2d >> 8) & 255)
+            b = jnp.where(covered, best & 255, (bg2d >> 16) & 255)
+            out_ref[c, 0] = r.astype(jnp.float32) * inv255
+            out_ref[c, 1] = g.astype(jnp.float32) * inv255
+            out_ref[c, 2] = b.astype(jnp.float32) * inv255
 
 
 def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
@@ -209,7 +223,8 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
                               tz: jnp.ndarray, tcolors: jnp.ndarray,
                               qmask: jnp.ndarray, tmask: jnp.ndarray,
                               res: int = RES,
-                              left_handed: bool = False) -> jnp.ndarray:
+                              left_handed: bool = False,
+                              packed_output: bool = False) -> jnp.ndarray:
     """
     Hard z-priority rasterization of typed primitives directly over the
     warped baked background, in a single fused kernel.
@@ -226,8 +241,14 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
         qmask / tmask: (B, J, 1, ceil(Q/8)) / (B, J, 1, ceil(T/8)) int32.
         res: output resolution; res*res must divide into PIXELS_PER_TILE
             bands and res <= 128 (64 and 128 in practice).
+        packed_output: emit the image as (B, res, res) int32 0x00BBGGRR
+            instead of 3 float channels -- identical 8-bit color content at
+            a third of the HBM write traffic; decode on read with
+            ``rendering.jax_renderer.unpack_rgb8_chw`` (XLA fuses the decode
+            into the consumer, so the float image never materializes).
     Returns:
-        (B, 3, res, res) float image in [0, 1].
+        (B, 3, res, res) float image in [0, 1], or (B, res, res) int32
+        packed RGB8 when ``packed_output``.
     """
     assert res <= RES, "the 256-texel window only covers views up to 128 px"
     b = cam_xy.shape[0]
@@ -261,9 +282,18 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
     # the flat path reads prim coefficients as (chunk, PIXELS) vector
     # broadcasts (VMEM); the 2D path reads them as per-prim scalars (SMEM)
     prim_space = pltpu.VMEM if res == RES else pltpu.SMEM
+    if packed_output:
+        out_spec = pl.BlockSpec((cams, res, res), cam_idx3,
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b_pad, res, res), jnp.int32)
+    else:
+        out_spec = pl.BlockSpec((cams, 3, res, res), cam_idx,
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b_pad, 3, res, res), jnp.float32)
     out = pl.pallas_call(
         functools.partial(_fused_kernel, res=res, qp=qp, tp=tp, chunk=8,
-                          n_bands=n_bands, cams=cams),
+                          n_bands=n_bands, cams=cams,
+                          packed_out=packed_output),
         grid=(b_pad // cams,),
         in_specs=[
             pl.BlockSpec((cams, 1, 14), cam_idx3, memory_space=pltpu.SMEM),
@@ -278,9 +308,8 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
             pl.BlockSpec((cams, tp, 1), cam_idx3, memory_space=prim_space),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((cams, 3, res, res), cam_idx,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_pad, 3, res, res), jnp.float32),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((cams, WINDOW, WINDOW), jnp.int32),
             pltpu.SemaphoreType.DMA((cams,)),

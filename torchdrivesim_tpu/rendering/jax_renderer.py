@@ -37,6 +37,21 @@ def _on_tpu() -> bool:
     return backend in ('tpu', 'axon')
 
 
+def pack_rgb8_chw(image: jnp.ndarray) -> jnp.ndarray:
+    """(B, 3, H, W) float [0, 255] -> (B, H, W) int32 0x00BBGGRR."""
+    q = jnp.clip(jnp.round(image), 0, 255).astype(jnp.int32)
+    return q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16)
+
+
+def unpack_rgb8_chw(packed: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) int32 0x00BBGGRR -> (B, 3, H, W) float [0, 255].
+
+    Cheap on purpose: when the consumer is a reduction or an elementwise op,
+    XLA fuses the decode so the float image never touches HBM."""
+    return jnp.stack([packed & 255, (packed >> 8) & 255,
+                      (packed >> 16) & 255], axis=1).astype(jnp.float32)
+
+
 class JaxRenderer(BirdviewRenderer):
     """
     Rasterizes RGB meshes per frame. If :attr:`background_texture` is set,
@@ -247,14 +262,23 @@ class JaxRenderer(BirdviewRenderer):
     def render_prims_chw(self, quads: jnp.ndarray, qz: jnp.ndarray,
                          qcolors: jnp.ndarray, tris: jnp.ndarray,
                          tz: jnp.ndarray, tcolors: jnp.ndarray,
-                         res: Resolution, cameras: Cameras) -> jnp.ndarray:
+                         res: Resolution, cameras: Cameras,
+                         packed: bool = False) -> jnp.ndarray:
         """
         Render typed primitives (world-space quads in cycle order + triangles,
         from ``BirdviewRGBMeshGenerator.generate_prims``) over the baked
         background. Quads cost half their triangle pair in the kernel.
 
+        Args:
+            packed: return the image as (B, H, W) int32 0x00BBGGRR instead
+                of float channels (identical 8-bit color content, a third of
+                the HBM traffic; decode with :func:`unpack_rgb8_chw`). On
+                the fused TPU path the kernel emits the packed image
+                directly; other paths pack the float image.
+
         Returns:
-            (B, 3, H, W) float image in [0, 255].
+            (B, 3, H, W) float image in [0, 255], or (B, H, W) int32 when
+            ``packed``.
         """
         assert res.width == res.height
         size = res.width
@@ -310,7 +334,10 @@ class JaxRenderer(BirdviewRenderer):
                     render_prims_fused_pallas)
                 image = render_prims_fused_pallas(
                     mip, cam_xy, cam_sc, scale, bg_color, sq, qz, qcolors,
-                    st, tz, tcolors, qmask, tmask, res=size, left_handed=lh)
+                    st, tz, tcolors, qmask, tmask, res=size, left_handed=lh,
+                    packed_output=packed)
+                if packed:
+                    return image
             else:
                 image = rasterize_hard_pallas_prims_banded(
                     sq, qz, qcolors, st, tz, tcolors, size, background,
@@ -333,6 +360,8 @@ class JaxRenderer(BirdviewRenderer):
             image = rasterize_hard_faces(corners, z, colors, size, hwc,
                                          face_chunk=self.cfg.face_chunk)
             image = jnp.transpose(image, (0, 3, 1, 2))
+        if packed:
+            return pack_rgb8_chw(image * 255.0)
         return image * 255.0
 
     def render_rgb_mesh(self, mesh: RGBMesh, res: Resolution, cameras: Cameras,
