@@ -216,3 +216,26 @@ def test_step_with_zero_agents():
     out2 = K.step(state, jnp.zeros((2, 0, 4)), params,
                   model_ids=jnp.zeros((2, 0), jnp.int32))
     assert out2.shape == (2, 0, 4)
+
+
+def test_set_params_rejects_unknown_names():
+    """Unknown parameter names raise instead of being silently dropped
+    (hardening over the reference's silent `pass`, ref `kinematic.py:99`)."""
+    base = K.KinematicModel()
+    with pytest.raises(ValueError, match='unknown_param'):
+        base.set_params(unknown_param=1.0)
+    assert base.get_params() == {}
+
+    bike = K.KinematicBicycle()
+    with pytest.raises(ValueError, match='not_a_param'):
+        bike.set_params(lr=jnp.ones((1, 1)), not_a_param=2.0)
+    bike.set_params(lr=jnp.full((1, 1), 1.3))   # known param still works
+    np.testing.assert_allclose(np.asarray(bike.get_params()['lr']), 1.3)
+
+    compound = K.CompoundKinematicModel(
+        model_assignments=jnp.asarray([[K.BICYCLE, K.SIMPLE]]))
+    with pytest.raises(ValueError):
+        compound.set_params(bogus=3.0)
+    compound.set_params(lr=jnp.asarray([[1.5, 2.5]]))
+    np.testing.assert_allclose(np.asarray(compound.get_params()['lr']),
+                               [[1.5, 2.5]])

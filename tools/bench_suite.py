@@ -32,10 +32,8 @@ import numpy as np
 
 def _image_sum(img):
     """Checksum an image output; packed RGB8 decodes lazily (fused by XLA)."""
-    if img.dtype == jnp.int32:
-        from torchdrivesim_tpu.rendering.jax_renderer import unpack_rgb8_chw
-        return jnp.sum(unpack_rgb8_chw(img))
-    return jnp.sum(img)
+    from torchdrivesim_tpu.rendering.jax_renderer import image_checksum
+    return image_checksum(img)
 
 
 def timed_steps(rollout_fn, state, n_warm=4, n_timed=3):
@@ -108,10 +106,14 @@ def config1_simulate():
         state, cks = rollout(state)
         float(cks)
         times.append(time.perf_counter() - t0)
+    # image_output records that this config switched to packed RGB8 output
+    # in round 2 (round-1 figures were measured with float images; the flip
+    # measured perf-neutral but is kept visible for comparability)
     return {'config': 'simulate_100step_batch1_town01',
             'env_steps_per_sec': round(100 / dt_pipe, 1),
             'blocking_latency_ms': round(min(times) * 1e3, 2),
-            'dispatch_rtt_ms': round(rtt * 1e3, 2)}
+            'dispatch_rtt_ms': round(rtt * 1e3, 2),
+            'image_output': 'packed_rgb8'}
 
 
 def config2_infractions():
@@ -166,7 +168,8 @@ def config3_heterogeneous():
 
     dt = timed_steps(rollout, sim.state)
     return {'config': 'heterogeneous_agents_batch64_town10hd',
-            'env_steps_per_sec': round(64 * 500 * 3 / dt, 1)}
+            'env_steps_per_sec': round(64 * 500 * 3 / dt, 1),
+            'image_output': 'packed_rgb8'}
 
 
 def config4_il_gradients():

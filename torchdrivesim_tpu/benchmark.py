@@ -147,6 +147,10 @@ class BenchmarkScenario:
                         include_background=renderer.background_texture is None)
                     image = renderer.render_rgb_mesh_chw(
                         mesh, Resolution(res, res), cameras)
+                    if packed_image:
+                        from torchdrivesim_tpu.rendering.jax_renderer import \
+                            pack_rgb8_chw
+                        image = pack_rgb8_chw(image)
                 else:
                     mesh = gen.generate(
                         1, agent_state=all_state[:, None],
@@ -155,6 +159,11 @@ class BenchmarkScenario:
                         include_background=True)
                     image = renderer.render_rgb_mesh(
                         mesh, Resolution(res, res), cameras)
+                    if packed_image:
+                        from torchdrivesim_tpu.rendering.jax_renderer import \
+                            pack_rgb8_chw
+                        image = pack_rgb8_chw(
+                            jnp.transpose(image, (0, 3, 1, 2)))
                 outputs['image'] = image
             if metrics:
                 all_state = jnp.concatenate(
@@ -271,13 +280,7 @@ def run_benchmark(scenario: BenchmarkScenario, steps_per_chunk: int = 50,
     # that reduce or store frames
     step = scenario.make_step_fn(render=True, metrics=True)
     b = sim.batch_size
-
-    def image_sum(img):
-        if img.dtype == jnp.int32:           # packed RGB8: decode fuses
-            from torchdrivesim_tpu.rendering.jax_renderer import (
-                unpack_rgb8_chw)
-            return jnp.sum(unpack_rgb8_chw(img))
-        return jnp.sum(img)
+    from torchdrivesim_tpu.rendering.jax_renderer import image_checksum
 
     @jax.jit
     def rollout_chunk(state):
@@ -285,7 +288,7 @@ def run_benchmark(scenario: BenchmarkScenario, steps_per_chunk: int = 50,
             s, out = step(s, jnp.zeros((b, sim.agent_count, 2)))
             # reduce outputs so nothing large leaves the device
             summary = jnp.stack(
-                [image_sum(out['image']) if 'image' in out else 0.0]
+                [image_checksum(out['image']) if 'image' in out else 0.0]
                 + [jnp.sum(v.astype(jnp.float32)) for k, v in out.items()
                    if k != 'image'])
             return s, summary

@@ -421,10 +421,24 @@ class KinematicModel:
         return self.state
 
     def get_params(self):
+        """Dictionary of model parameters (ref: `kinematic.py:93-97`)."""
         return {}
 
     def set_params(self, **kwargs):
-        pass
+        """Set custom model parameters (ref: `kinematic.py:99-103`).
+
+        Unlike the reference's silent ``pass``, unknown parameter names are
+        rejected so a subclass that forgets to override this doesn't have its
+        parameters silently dropped.
+        """
+        known = self.get_params()
+        unknown = sorted(k for k in kwargs if k not in known)
+        if unknown:
+            raise ValueError(
+                f"{type(self).__name__} does not accept kinematic "
+                f"parameters {unknown}; known parameters: "
+                f"{sorted(known)} (override set_params/get_params "
+                "in the subclass)")
 
     def step(self, action, dt=None):
         self.state = step(self.state, jnp.asarray(action), self.params,
@@ -509,6 +523,7 @@ class KinematicBicycle(KinematicModel):
         return {'lr': self.params.lr}
 
     def set_params(self, **kwargs):
+        super().set_params(**{k: v for k, v in kwargs.items() if k != 'lr'})
         assert 'lr' in kwargs
         lr = kwargs['lr']
         if not isinstance(lr, jnp.ndarray):
@@ -572,6 +587,21 @@ class CompoundKinematicModel(KinematicModel):
     @property
     def batch_shape(self):
         return self.model_assignments.shape
+
+    def get_params(self):
+        """The shared per-agent parameter table. The reference's compound
+        routes params to sub-models (`kinematic.py:261-281`); here all model
+        functions read one shared ``KinematicParams``, so ``lr`` (used by the
+        bicycle family) is the per-agent parameter to expose."""
+        return {'lr': self.params.lr}
+
+    def set_params(self, **kwargs):
+        super().set_params(**{k: v for k, v in kwargs.items() if k != 'lr'})
+        if 'lr' in kwargs:
+            lr = kwargs['lr']
+            if not isinstance(lr, jnp.ndarray):
+                lr = np.asarray(lr)
+            self.params = self.params.replace(lr=lr)
 
     def step(self, action, dt=None):
         self.state = step(self.state, jnp.asarray(action), self.params,

@@ -162,8 +162,26 @@ class MapObservationNoiseFromLog(ObservationNoise):
                           simulator.lane_features)
 
     def get_noisy_background_mesh(self, simulator):
-        return self._pick(self.noisy_background_mesh, simulator,
-                          simulator.birdview_mesh_generator.background_mesh)
+        mesh = self._pick(self.noisy_background_mesh, simulator, None)
+        if mesh is None:
+            return simulator.birdview_mesh_generator.background_mesh
+        if not hasattr(mesh, 'categories'):
+            return mesh
+        # Fill missing per-category colors/z-levels from the generator's
+        # defaults (ref: `observation_noise.py:156-157`), keeping the
+        # BirdviewMesh type so the simulator's noisy-render path can rebuild
+        # its scene generator from it.
+        import dataclasses
+        from torchdrivesim_tpu.mesh import tensor_color
+        gen = simulator.birdview_mesh_generator
+        colors = dict(mesh.colors)
+        zs = dict(mesh.zs)
+        for k in mesh.categories:
+            if k not in colors:
+                colors[k] = tensor_color(gen.color_map[k])
+            if k not in zs:
+                zs[k] = gen.rendering_levels[k]
+        return dataclasses.replace(mesh, colors=colors, zs=zs)
 
     def get_noisy_road_mesh(self, simulator):
         return self._pick(self.noisy_background_mesh, simulator,

@@ -15,10 +15,14 @@ Two compute paths:
 """
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+_warned_fallback_res = set()
 
 from torchdrivesim_tpu.mesh import RGBMesh
 from torchdrivesim_tpu.ops.grids import Grid2D
@@ -50,6 +54,15 @@ def unpack_rgb8_chw(packed: jnp.ndarray) -> jnp.ndarray:
     XLA fuses the decode so the float image never touches HBM."""
     return jnp.stack([packed & 255, (packed >> 8) & 255,
                       (packed >> 16) & 255], axis=1).astype(jnp.float32)
+
+
+def image_checksum(image: jnp.ndarray) -> jnp.ndarray:
+    """Scalar checksum of a rendered image in either output format:
+    float channels, or packed RGB8 int32 (decoded lazily -- XLA fuses the
+    unpack into the reduction, so the float image never touches HBM)."""
+    if image.dtype == jnp.int32:
+        return jnp.sum(unpack_rgb8_chw(image))
+    return jnp.sum(image)
 
 
 class JaxRenderer(BirdviewRenderer):
@@ -96,9 +109,17 @@ class JaxRenderer(BirdviewRenderer):
         if not self.cfg.use_pallas or self.cfg.differentiable:
             return False
         # every Pallas raster path tiles the image into whole 4096-pixel
-        # bands and caps at the 256-texel window: res=32/96 etc. must take
-        # the XLA fallback instead of hitting in-kernel asserts
+        # bands and caps at the 256-texel window: unsupported resolutions
+        # must take the XLA fallback instead of hitting in-kernel asserts
         if res > 128 or (res * res) % 4096 != 0:
+            if _on_tpu() and res not in _warned_fallback_res:
+                _warned_fallback_res.add(res)
+                logger.warning(
+                    "res=%d is outside the Pallas fast path (needs res <= "
+                    "128 with res*res a multiple of 4096); falling back to "
+                    "the XLA rasterizer, which runs at gather speed on TPU "
+                    "(~3x slower). Pick res in {64, 128} for full speed.",
+                    res)
             return False
         return _on_tpu()
 
