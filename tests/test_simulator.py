@@ -370,3 +370,46 @@ def test_compound_npc_controller_routes_by_index():
     assert big.controller_indices.shape == (2 * B, N)
     sel = big.select_batch_elements(np.asarray([0, 3]), in_place=False)
     assert sel.controller_indices.shape == (2, N)
+
+
+def test_prim_budget_guard_warns_on_overbudget_scene(caplog):
+    """A scene whose simultaneously-visible content can exceed the banded
+    cull's per-type cap triggers the construction-time guard (the cull keeps
+    the view-nearest prims, so an over-budget frame drops content silently
+    mid-rollout otherwise)."""
+    import logging
+    sim = _build_simulator()
+    # within budget: 2 agents + 1 light = 3 quads, 2 dir + waypoint tris
+    q, t = sim.birdview_mesh_generator.worst_case_prim_counts(A)
+    assert q == 3 and t == 2 + A * sim.birdview_mesh_generator \
+        .waypoint_template_faces.shape[0]
+    with caplog.at_level(logging.WARNING, 'torchdrivesim_tpu.simulator'):
+        sim.check_prim_budget()
+    assert not any('prim budget' in r.message for r in caplog.records)
+    # over budget: shrink the cap below the scene's static content
+    sim.renderer.cfg.band_budget = 8
+    with caplog.at_level(logging.WARNING, 'torchdrivesim_tpu.simulator'):
+        sim.check_prim_budget(waypoint_count=A)
+    assert any('prim budget' in r.message for r in caplog.records)
+    with pytest.raises(ValueError, match='prim budget'):
+        sim.check_prim_budget(waypoint_count=A, strict=True)
+
+
+def test_prim_budget_guard_fires_at_construction(caplog):
+    """Building a Simulator with more agents than the band budget warns."""
+    import logging
+    m = _straight_lanelet_map()
+    road = BirdviewMesh.set_properties(road_mesh_from_lanelet_map(m), 'road')
+    road = BirdviewMesh.collate([road] * 1)
+    n = 60  # > the 56 hard cap
+    kin = K.KinematicBicycle(dt=0.1)
+    kin.set_params(lr=jnp.full((1, n), 1.0))
+    kin.set_state(jnp.zeros((1, n, 4)))
+    cfg = TorchDriveConfig()
+    cfg.renderer = JaxRendererConfig()
+    with caplog.at_level(logging.WARNING, 'torchdrivesim_tpu.simulator'):
+        Simulator(road_mesh=road, kinematic_model=kin,
+                  agent_size=jnp.ones((1, n, 2)),
+                  initial_present_mask=jnp.ones((1, n), dtype=bool),
+                  cfg=cfg)
+    assert any('prim budget' in r.message for r in caplog.records)

@@ -472,6 +472,24 @@ class BirdviewRGBMeshGenerator:
         colors = jnp.concatenate([p[2] for p in parts], axis=1)
         return corners, z, colors
 
+    def worst_case_prim_counts(self, waypoint_count: int = 0):
+        """
+        Static worst-case per-camera prim counts for the typed-prim path
+        (:meth:`generate_prims`): all content simultaneously visible.
+
+        Returns:
+            (quads, triangles) -- agent boxes + traffic-light quads;
+            direction markers + ``waypoint_count`` waypoint discs' triangles.
+        """
+        n_all = self.actor_verts.shape[1] if self.actor_verts is not None else 0
+        nl = self.light_verts.shape[1] if self.light_verts is not None else 0
+        quads = n_all + nl
+        tris = n_all if self.render_agent_direction else 0
+        if waypoint_count:
+            tris += int(waypoint_count) * int(
+                self.waypoint_template_faces.shape[0])
+        return quads, tris
+
     def generate_prims(self, agent_state: jnp.ndarray,
                        present_mask: Optional[jnp.ndarray] = None,
                        traffic_light_state: Optional[jnp.ndarray] = None,

@@ -463,6 +463,7 @@ class Simulator:
 
         self.observation_noise_model = observation_noise_model or \
             ObservationNoise(ObservationNoiseConfig())
+        self.check_prim_budget()
 
         # assemble the dynamic state PyTree
         self.state = SimulatorState(
@@ -895,6 +896,47 @@ class Simulator:
         return self.observation_noise_model.get_noisy_traffic_controls(self)
 
     # --- rendering -----------------------------------------------------------------
+
+    def check_prim_budget(self, waypoint_count: Optional[int] = None,
+                          strict: bool = False) -> None:
+        """
+        Guard the banded-cull prim budget at scenario-construction time,
+        where content counts are static: the typed-prim fast path keeps at
+        most ``min(max(8, band_budget), 56)`` view-nearest prims PER TYPE
+        per camera (`rendering/jax_renderer.py`), so a scene whose
+        simultaneously-visible content exceeds that cap would drop prims
+        silently mid-rollout. Absent agents contribute degenerate prims
+        that the view cull discards first (ref: `mesh.py:1083-1089`), so
+        the worst case here is every agent + light + waypoint visible in
+        one camera at once.
+
+        Args:
+            waypoint_count: rendered waypoints per camera; defaults to one
+                per agent when waypoint goals are configured.
+            strict: raise ``ValueError`` instead of logging a warning.
+        """
+        budget = getattr(getattr(self.renderer, 'cfg', None),
+                         'band_budget', None)
+        if budget is None or self.birdview_mesh_generator is None:
+            return
+        cap = min(max(8, int(budget)), 56)
+        if waypoint_count is None:
+            waypoint_count = (self.agent_count
+                              if self.waypoint_goals is not None else 0)
+        quads, tris = self.birdview_mesh_generator.worst_case_prim_counts(
+            waypoint_count)
+        if quads <= cap and tris <= cap:
+            return
+        msg = (
+            f"scene content can exceed the renderer's per-camera prim "
+            f"budget: worst case {quads} quads / {tris} triangles vs "
+            f"band_budget cap {cap} (per type). Frames where more than "
+            f"{cap} prims of one type are visible in a single camera will "
+            f"drop the farthest ones. Reduce agents/lights/waypoints per "
+            f"scene or raise JaxRendererConfig.band_budget (hard max 56).")
+        if strict:
+            raise ValueError(msg)
+        logger.warning(msg)
 
     def render(self, camera_xy: jnp.ndarray, camera_psi: jnp.ndarray,
                res: Optional[Resolution] = None,
