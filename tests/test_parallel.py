@@ -45,6 +45,94 @@ def test_sharded_rollout_matches_unsharded():
     assert len(shards.device_set) == 8
 
 
+def _force_all_pallas_interpret(monkeypatch):
+    """Run every Pallas kernel module in interpreter mode and make the
+    renderer believe it is on TPU, so the production fast path runs on the
+    CPU test mesh."""
+    import functools
+    import torchdrivesim_tpu.ops.pallas_fused as F
+    import torchdrivesim_tpu.ops.pallas_rasterize as R
+    import torchdrivesim_tpu.ops.pallas_warp as W
+    import torchdrivesim_tpu.rendering.jax_renderer as jr
+    monkeypatch.setattr(jr, '_on_tpu', lambda: True)
+    for mod in (W, R, F):
+        original = mod.pl.pallas_call
+        monkeypatch.setattr(mod.pl, 'pallas_call',
+                            functools.partial(original, interpret=True))
+
+
+def _prims_rollout(sim, res=64, steps=3, fov=40.0):
+    """A jitted rollout through the PRODUCTION fast render path:
+    functional_step -> generate_prims -> row-major sort -> banded/fused
+    Pallas kernels (the same chain the benchmark step uses)."""
+    from torchdrivesim_tpu.rendering.base import Cameras
+    from torchdrivesim_tpu.utils import Resolution
+    gen = sim.birdview_mesh_generator
+    renderer = sim.renderer
+    b, a = sim.batch_size, sim.agent_count
+
+    def rollout(state):
+        def body(s, _):
+            s = sim.functional_step(s, jnp.zeros((b, a, 2)))
+            all_state = jnp.concatenate([s.agent_state, s.npc_state], -2)
+            present = jnp.concatenate(
+                [s.present_mask, s.npc_present_mask], -1)
+            lights = s.traffic_control_state['traffic_light']
+            ego = s.agent_state[:, 0]
+            cam_xy = ego[:, :2]
+            cam_sc = jnp.stack([jnp.sin(ego[:, 2]), jnp.cos(ego[:, 2])], -1)
+            quads, qz, qcol, tris, tz, tcol = gen.generate_prims(
+                all_state, present_mask=present, traffic_light_state=lights)
+            img = renderer.render_prims_chw(
+                quads, qz, qcol, tris, tz, tcol, Resolution(res, res),
+                Cameras(cam_xy, cam_sc, 2.0 / fov))
+            return s, img
+        return jax.lax.scan(body, state, None, length=steps)
+    return rollout
+
+
+@pytest.mark.integration
+@pytest.mark.parametrize('textured', [False, True],
+                         ids=['banded', 'fused_warp'])
+def test_sharded_pallas_render_matches_unsharded(monkeypatch, textured):
+    """The flagship Pallas render path must produce IDENTICAL images when
+    the batch shards over the 8-device mesh, and must actually partition:
+    plain jit replicates an opaque pallas_call (all-gather + full-batch
+    render per device), so the renderer wraps the fast path in
+    jax.shard_map when `shard_mesh` is set (see docs/design.md)."""
+    from tests.test_simulator import _build_simulator
+    from torchdrivesim_tpu.ops.grids import Grid2D
+    from torchdrivesim_tpu.parallel import shard_simulator
+
+    _force_all_pallas_interpret(monkeypatch)
+    sim = _build_simulator(with_npcs=True)
+    sim = sim.extend(4, in_place=False)   # batch 8 = device count
+    assert sim.batch_size == 8
+    if textured:
+        # background texture covering the scene -> mip pyramid -> the
+        # fused warp+rasterize+composite kernel (the headline path)
+        rng = np.random.RandomState(0)
+        sim.renderer.background_texture = Grid2D(
+            data=np.asarray(rng.rand(256, 256, 3), np.float32),
+            origin=np.asarray([-40.0, -40.0], np.float32), cell_size=0.75)
+    rollout = _prims_rollout(sim)
+
+    final_plain, imgs_plain = jax.jit(rollout)(sim.state)
+    imgs_plain = np.asarray(imgs_plain)
+    assert imgs_plain.max() > 0
+
+    mesh = make_mesh(8)
+    sim = shard_simulator(sim, mesh)
+    assert sim.renderer.shard_mesh is mesh
+    final_shard, imgs_shard = jax.jit(rollout)(sim.state)
+    # images carry the batch sharding out of shard_map (not replicated)
+    assert len(imgs_shard.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(imgs_shard), imgs_plain)
+    np.testing.assert_allclose(np.asarray(final_shard.agent_state),
+                               np.asarray(final_plain.agent_state),
+                               atol=1e-6)
+
+
 def test_shard_batched_tree_placement():
     mesh = make_mesh(8)
     tree = {'batched': jnp.zeros((16, 3)), 'scalar': jnp.asarray(1.0),

@@ -64,3 +64,28 @@ def replicate_tree(tree, mesh: Mesh):
     """Replicate every leaf of a PyTree on all mesh devices."""
     repl = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, repl), tree)
+
+
+def shard_simulator(sim, mesh: Mesh):
+    """
+    Prepare a :class:`~torchdrivesim_tpu.simulator.Simulator` for sharded
+    execution over ``mesh``'s batch axis: shards the state PyTree across the
+    devices and points the renderer's Pallas fast paths at the mesh so they
+    run under ``jax.shard_map`` (XLA's SPMD partitioner cannot split an
+    opaque ``pallas_call`` on its own -- under plain jit it would all-gather
+    the inputs and render the FULL batch on every device). The plain-XLA
+    parts of the step need no annotation; the partitioner propagates the
+    batch sharding through them.
+
+    Mutates and returns ``sim``. Requires ``sim.batch_size`` to be a
+    multiple of the device count.
+    """
+    n = mesh.devices.size
+    if sim.batch_size % n != 0:
+        raise ValueError(
+            f"batch size {sim.batch_size} is not divisible by the "
+            f"{n}-device mesh; extend the batch or shrink the mesh")
+    if hasattr(sim.renderer, 'shard_mesh'):
+        sim.renderer.shard_mesh = mesh
+    sim.state = shard_batched_tree(sim.state, mesh)
+    return sim

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 logger = logging.getLogger(__name__)
 _warned_fallback_res = set()
+_warned_shard_batch = set()
 
 from torchdrivesim_tpu.mesh import RGBMesh
 from torchdrivesim_tpu.ops.grids import Grid2D
@@ -78,6 +79,13 @@ class JaxRenderer(BirdviewRenderer):
         self._background_texture = None
         self._packed_texture = None
         self.background_texture = background_texture
+        #: optional ``jax.sharding.Mesh``: when set, the Pallas fast paths
+        #: run under ``jax.shard_map`` over the mesh's first axis so each
+        #: device rasterizes only its local batch shard. Required for true
+        #: partitioning: under plain jit XLA treats ``pallas_call`` as an
+        #: opaque custom call and REPLICATES it (all-gathers the inputs and
+        #: renders the full batch on every device). See docs/design.md.
+        self.shard_mesh = None
 
     @property
     def background_texture(self) -> Optional[Grid2D]:
@@ -103,7 +111,37 @@ class JaxRenderer(BirdviewRenderer):
         other._packed_texture = self._packed_texture
         other._quad_texture = getattr(self, '_quad_texture', None)
         other._mip_pyramid = getattr(self, '_mip_pyramid', None)
+        other.shard_mesh = getattr(self, 'shard_mesh', None)
         return other
+
+    def _shard_wrap(self, fn, batch: int):
+        """Wrap a batch-parallel render function in ``jax.shard_map`` over
+        :attr:`shard_mesh`'s first axis (identity when no mesh is set).
+
+        Every argument and the output must carry the batch on dim 0. XLA
+        cannot partition ``pallas_call`` on its own -- under plain jit the
+        SPMD partitioner replicates it (all-gather + full-batch render per
+        device) -- so this wrapper is what makes the fast path actually
+        scale across chips."""
+        mesh = getattr(self, 'shard_mesh', None)
+        if mesh is None:
+            return fn
+        n = mesh.devices.size
+        if batch % n != 0:
+            if batch not in _warned_shard_batch:
+                _warned_shard_batch.add(batch)
+                logger.warning(
+                    "render batch %d is not divisible by the %d-device "
+                    "shard_mesh; the Pallas render runs replicated "
+                    "(all-gathered) on every device instead of partitioned.",
+                    batch, n)
+            return fn
+        from jax.sharding import PartitionSpec
+        spec = PartitionSpec(mesh.axis_names[0])
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+        # annotation, and none is needed -- the kernel is per-batch-element
+        return jax.shard_map(fn, mesh=mesh, in_specs=spec, out_specs=spec,
+                             check_vma=False)
 
     def _use_pallas(self, res: int) -> bool:
         if not self.cfg.use_pallas or self.cfg.differentiable:
@@ -247,38 +285,49 @@ class JaxRenderer(BirdviewRenderer):
         cam_xy, cam_sc, scale = cameras.xy, cameras.sc, cameras.scale
         bg_color = jnp.asarray(self.get_color('background'), jnp.float32) / 255.0
         use_pallas = self._use_pallas(size)
-        mip = self._warp_mip(scale, size) if use_pallas else None
-        if mip is not None:
-            from torchdrivesim_tpu.ops.pallas_warp import warp_background_pallas
-            background = warp_background_pallas(
-                mip, cam_xy, cam_sc, scale, bg_color,
-                left_handed=self.cfg.left_handed_coordinates, res=size)
-        elif self._packed_texture is not None:
-            background = sample_background_packed(
-                self._packed_texture, cam_xy, cam_sc, scale, size, bg_color,
-                left_handed=self.cfg.left_handed_coordinates,
-                downsample=self.cfg.background_downsample, chw=True)
-        else:
-            background = jnp.broadcast_to(
-                bg_color[None, :, None, None], (b, 3, size, size))
-        rc = camera_rows_cols(corners.reshape(b, f * 3, 2), cam_xy, cam_sc,
-                              scale, size,
-                              left_handed=self.cfg.left_handed_coordinates)
-        sc_corners = rc.reshape(b, f, 3, 2)
-        if self.cfg.cull_max_faces:
-            sc_corners, z, colors = cull_faces_to_view(
-                sc_corners, z, colors, size, self.cfg.cull_max_faces)
-        if use_pallas:
-            from torchdrivesim_tpu.ops.pallas_rasterize import rasterize_hard_pallas
-            image = rasterize_hard_pallas(sc_corners, z, colors, size,
-                                          background)
-        else:
-            from torchdrivesim_tpu.ops.rasterize import rasterize_hard_faces
-            hwc = jnp.transpose(background, (0, 2, 3, 1))
-            image = rasterize_hard_faces(sc_corners, z, colors, size, hwc,
-                                         face_chunk=self.cfg.face_chunk)
-            image = jnp.transpose(image, (0, 3, 1, 2))
-        return image * 255.0
+        lh = self.cfg.left_handed_coordinates
+
+        def _render(corners, z, colors, cam_xy, cam_sc):
+            bl = z.shape[0]
+            mip = self._warp_mip(scale, size) if use_pallas else None
+            if mip is not None:
+                from torchdrivesim_tpu.ops.pallas_warp import (
+                    warp_background_pallas)
+                background = warp_background_pallas(
+                    mip, cam_xy, cam_sc, scale, bg_color,
+                    left_handed=lh, res=size)
+            elif self._packed_texture is not None:
+                background = sample_background_packed(
+                    self._packed_texture, cam_xy, cam_sc, scale, size,
+                    bg_color, left_handed=lh,
+                    downsample=self.cfg.background_downsample, chw=True)
+            else:
+                background = jnp.broadcast_to(
+                    bg_color[None, :, None, None], (bl, 3, size, size))
+            rc = camera_rows_cols(corners.reshape(bl, f * 3, 2), cam_xy,
+                                  cam_sc, scale, size, left_handed=lh)
+            sc_corners = rc.reshape(bl, f, 3, 2)
+            zl, colorsl = z, colors
+            if self.cfg.cull_max_faces:
+                sc_corners, zl, colorsl = cull_faces_to_view(
+                    sc_corners, zl, colorsl, size, self.cfg.cull_max_faces)
+            if use_pallas:
+                from torchdrivesim_tpu.ops.pallas_rasterize import (
+                    rasterize_hard_pallas)
+                image = rasterize_hard_pallas(sc_corners, zl, colorsl, size,
+                                              background)
+            else:
+                from torchdrivesim_tpu.ops.rasterize import (
+                    rasterize_hard_faces)
+                hwc = jnp.transpose(background, (0, 2, 3, 1))
+                image = rasterize_hard_faces(sc_corners, zl, colorsl, size,
+                                             hwc,
+                                             face_chunk=self.cfg.face_chunk)
+                image = jnp.transpose(image, (0, 3, 1, 2))
+            return image * 255.0
+
+        fn = self._shard_wrap(_render, b) if use_pallas else _render
+        return fn(corners, z, colors, cam_xy, cam_sc)
 
     def render_prims_chw(self, quads: jnp.ndarray, qz: jnp.ndarray,
                          qcolors: jnp.ndarray, tris: jnp.ndarray,
@@ -310,19 +359,81 @@ class JaxRenderer(BirdviewRenderer):
         use_pallas = self._use_pallas(size)
         mip = self._warp_mip(scale, size) if use_pallas else None
         use_warp = mip is not None
-        if use_warp:
-            # background handled inside the fused warp+rasterize kernel below
-            background = None
-        elif self._packed_texture is not None:
+        lh = self.cfg.left_handed_coordinates
+
+        if use_pallas:
+            def _fast(quads, qz, qcolors, tris, tz, tcolors, cam_xy, cam_sc):
+                # one device's batch shard when running under shard_map;
+                # every shape below derives from the LOCAL leading dim
+                bl = qz.shape[0]
+                from torchdrivesim_tpu.ops.pallas_rasterize import (
+                    PIXELS_PER_TILE, rasterize_hard_pallas_prims_banded)
+                from torchdrivesim_tpu.ops.rasterize import (
+                    sort_prims_rowmajor_with_masks)
+                sq = camera_rows_cols(
+                    quads.reshape(bl, q * 4, 2), cam_xy, cam_sc, scale, size,
+                    left_handed=lh).reshape(bl, q, 4, 2)
+                st = camera_rows_cols(
+                    tris.reshape(bl, max(t, 1) * 3, 2)
+                    if t else jnp.zeros((bl, 3, 2)),
+                    cam_xy, cam_sc, scale, size,
+                    left_handed=lh).reshape(bl, max(t, 1), 3, 2)
+                if t == 0:
+                    st = st[:, :0]
+                # band masking: prims sort row-major (visible first,
+                # gather-free lax.sort) and each 32-row kernel tile skips
+                # whole 8-prim chunks that cannot touch it -- per-pixel work
+                # tracks LOCAL density (typically a handful of prims)
+                # instead of the camera budget; the screen stats ride
+                # through the sort so the masks need no second pass over
+                # the corner tensor
+                n_bands = (size * size) // PIXELS_PER_TILE
+                cap = min(max(8, self.cfg.band_budget), 56)
+                sq_s, qz_s, qcol_s, qmask = sort_prims_rowmajor_with_masks(
+                    sq, qz, qcolors, size, cap, n_bands)
+                st_s, tz_s, tcol_s, tmask = sort_prims_rowmajor_with_masks(
+                    st, tz, tcolors, size, cap, n_bands)
+                if use_warp:
+                    # fused kernel: warp + rasterize + composite in one
+                    # program, no background HBM round trip (bit-exact vs
+                    # the split path)
+                    from torchdrivesim_tpu.ops.pallas_fused import (
+                        render_prims_fused_pallas)
+                    image = render_prims_fused_pallas(
+                        mip, cam_xy, cam_sc, scale, bg_color, sq_s, qz_s,
+                        qcol_s, st_s, tz_s, tcol_s, qmask, tmask, res=size,
+                        left_handed=lh, packed_output=packed)
+                    if packed:
+                        return image
+                else:
+                    if self._packed_texture is not None:
+                        background = sample_background_packed(
+                            self._packed_texture, cam_xy, cam_sc, scale,
+                            size, bg_color, left_handed=lh,
+                            downsample=self.cfg.background_downsample,
+                            chw=True)
+                    else:
+                        background = jnp.broadcast_to(
+                            bg_color[None, :, None, None],
+                            (bl, 3, size, size))
+                    image = rasterize_hard_pallas_prims_banded(
+                        sq_s, qz_s, qcol_s, st_s, tz_s, tcol_s, size,
+                        background, qmask, tmask)
+                if packed:
+                    return pack_rgb8_chw(image * 255.0)
+                return image * 255.0
+
+            return self._shard_wrap(_fast, b)(
+                quads, qz, qcolors, tris, tz, tcolors, cam_xy, cam_sc)
+
+        if self._packed_texture is not None:
             background = sample_background_packed(
                 self._packed_texture, cam_xy, cam_sc, scale, size, bg_color,
-                left_handed=self.cfg.left_handed_coordinates,
+                left_handed=lh,
                 downsample=self.cfg.background_downsample, chw=True)
         else:
             background = jnp.broadcast_to(
                 bg_color[None, :, None, None], (b, 3, size, size))
-
-        lh = self.cfg.left_handed_coordinates
         sq = camera_rows_cols(quads.reshape(b, q * 4, 2), cam_xy, cam_sc,
                               scale, size, left_handed=lh).reshape(b, q, 4, 2)
         st = camera_rows_cols(tris.reshape(b, max(t, 1) * 3, 2)
@@ -331,56 +442,23 @@ class JaxRenderer(BirdviewRenderer):
                               left_handed=lh).reshape(b, max(t, 1), 3, 2)
         if t == 0:
             st = st[:, :0]
-        if use_pallas:
-            from torchdrivesim_tpu.ops.pallas_rasterize import (
-                PIXELS_PER_TILE, rasterize_hard_pallas_prims_banded)
-            from torchdrivesim_tpu.ops.rasterize import (
-                sort_prims_rowmajor_with_masks)
-            # band masking: prims sort row-major (visible first, gather-free
-            # lax.sort) and each 32-row kernel tile skips whole 8-prim chunks
-            # that cannot touch it -- per-pixel work tracks LOCAL density
-            # (typically a handful of prims) instead of the camera budget;
-            # the screen stats ride through the sort so the masks need no
-            # second pass over the corner tensor
-            n_bands = (size * size) // PIXELS_PER_TILE
-            cap = min(max(8, self.cfg.band_budget), 56)
-            sq, qz, qcolors, qmask = sort_prims_rowmajor_with_masks(
-                sq, qz, qcolors, size, cap, n_bands)
-            st, tz, tcolors, tmask = sort_prims_rowmajor_with_masks(
-                st, tz, tcolors, size, cap, n_bands)
-            if use_warp:
-                # fused kernel: warp + rasterize + composite in one program,
-                # no background HBM round trip (bit-exact vs the split path)
-                from torchdrivesim_tpu.ops.pallas_fused import (
-                    render_prims_fused_pallas)
-                image = render_prims_fused_pallas(
-                    mip, cam_xy, cam_sc, scale, bg_color, sq, qz, qcolors,
-                    st, tz, tcolors, qmask, tmask, res=size, left_handed=lh,
-                    packed_output=packed)
-                if packed:
-                    return image
-            else:
-                image = rasterize_hard_pallas_prims_banded(
-                    sq, qz, qcolors, st, tz, tcolors, size, background,
-                    qmask, tmask)
-        else:
-            # cap each prim type at half the face budget (the cull keeps the
-            # view-nearest prims, so only off-screen content is dropped) --
-            # and within the packed 7-bit rank space across both types
-            keep = min(max(8, (self.cfg.cull_max_faces or 64) // 2), 56)
-            sq, qz, qcolors = cull_prims_to_view(sq, qz, qcolors, size, keep)
-            st, tz, tcolors = cull_prims_to_view(st, tz, tcolors, size, keep)
-            # XLA fallback: expand quads to their two triangles
-            from torchdrivesim_tpu.ops.rasterize import rasterize_hard_faces
-            t1 = sq[:, :, jnp.asarray([0, 1, 2])]
-            t2 = sq[:, :, jnp.asarray([0, 2, 3])]
-            corners = jnp.concatenate([t1, t2, st], axis=1)
-            z = jnp.concatenate([qz, qz + 1e-5, tz], axis=1)
-            colors = jnp.concatenate([qcolors, qcolors, tcolors], axis=1)
-            hwc = jnp.transpose(background, (0, 2, 3, 1))
-            image = rasterize_hard_faces(corners, z, colors, size, hwc,
-                                         face_chunk=self.cfg.face_chunk)
-            image = jnp.transpose(image, (0, 3, 1, 2))
+        # cap each prim type at half the face budget (the cull keeps the
+        # view-nearest prims, so only off-screen content is dropped) --
+        # and within the packed 7-bit rank space across both types
+        keep = min(max(8, (self.cfg.cull_max_faces or 64) // 2), 56)
+        sq, qz, qcolors = cull_prims_to_view(sq, qz, qcolors, size, keep)
+        st, tz, tcolors = cull_prims_to_view(st, tz, tcolors, size, keep)
+        # XLA fallback: expand quads to their two triangles
+        from torchdrivesim_tpu.ops.rasterize import rasterize_hard_faces
+        t1 = sq[:, :, jnp.asarray([0, 1, 2])]
+        t2 = sq[:, :, jnp.asarray([0, 2, 3])]
+        corners = jnp.concatenate([t1, t2, st], axis=1)
+        z = jnp.concatenate([qz, qz + 1e-5, tz], axis=1)
+        colors = jnp.concatenate([qcolors, qcolors, tcolors], axis=1)
+        hwc = jnp.transpose(background, (0, 2, 3, 1))
+        image = rasterize_hard_faces(corners, z, colors, size, hwc,
+                                     face_chunk=self.cfg.face_chunk)
+        image = jnp.transpose(image, (0, 3, 1, 2))
         if packed:
             return pack_rgb8_chw(image * 255.0)
         return image * 255.0
