@@ -237,6 +237,53 @@ class TestMapGrids:
         np.testing.assert_allclose(np.asarray(g), np.asarray(g0),
                                    rtol=2e-2, atol=0.05)
 
+    def test_row_packed_sampling_bit_exact(self):
+        """The row-gather repack (RowPackedGrid) must reproduce the 2D quad
+        and nearest samplers bit-for-bit, including boundary/fill handling
+        and gradients."""
+        import jax
+        from torchdrivesim_tpu.map_grids import (
+            MapGrids, sample_lane_directions, sample_offroad_distance)
+        from torchdrivesim_tpu.ops.grids import Grid2D
+
+        rng = np.random.RandomState(1)
+        h, w = 61, 47                              # deliberately unaligned
+        data = np.abs(rng.randn(h, w, 1)).astype(np.float32) * 5
+        direction = rng.randint(-2**31, 2**31 - 1,
+                                (h, w, 1)).astype(np.int32)
+        origin = np.asarray([3.0, -7.0], np.float32)
+        base = MapGrids(
+            distance=Grid2D(data=data, origin=origin, cell_size=0.5),
+            direction=Grid2D(data=direction, origin=origin, cell_size=0.5))
+        full = base.with_quad()
+        quad_only = full.replace(distance_rows=None, direction_rows=None)
+        assert full.distance_rows is not None
+        assert full.direction_rows is not None
+
+        # points spanning interior, boundary ring, and far out of bounds
+        pts = np.concatenate([
+            rng.uniform([2.0, -8.0], [3.0 + 0.5 * w, -7.0 + 0.5 * h],
+                        (500, 2)),
+            np.asarray([[3.0, -7.0], [3.0 + 0.5 * (w - 1), -7.0 + 0.5 * (h - 1)],
+                        [1e5, 1e5], [-1e5, 0.0]]),
+        ]).astype(np.float32)
+        pts = jnp.asarray(pts)
+
+        want = np.asarray(sample_offroad_distance(quad_only, pts))
+        got = np.asarray(sample_offroad_distance(full, pts))
+        np.testing.assert_array_equal(got, want)
+
+        want_d = [np.asarray(a) for a in
+                  sample_lane_directions(quad_only, pts)]
+        got_d = [np.asarray(a) for a in sample_lane_directions(full, pts)]
+        for a, b in zip(got_d, want_d):
+            np.testing.assert_array_equal(a, b)
+
+        g = jax.grad(lambda p: jnp.sum(sample_offroad_distance(full, p)))(pts)
+        g0 = jax.grad(
+            lambda p: jnp.sum(sample_offroad_distance(quad_only, p)))(pts)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(g0))
+
 
 def bake_map_grids_with(cfg, lanelet_map, cell_size=0.5):
     """Bake grids with an explicit in-memory lanelet map (test helper)."""

@@ -23,7 +23,7 @@ from torchdrivesim_tpu.map_grids import (
 from torchdrivesim_tpu.traffic_controls import red_light_violations
 
 B = int(os.environ.get('AB_BATCH', 256))
-STEPS = 50
+STEPS = int(os.environ.get('AB_STEPS', 50))
 
 
 def main():
@@ -58,6 +58,17 @@ def main():
         return jnp.sum(wrong_way_loss_from_grid(
             sim.map_grids, state.agent_state))
 
+    # 2D-gather (pre-row-pack) sampler variants for A/B timing
+    grids_2d = sim.map_grids.replace(distance_rows=None, direction_rows=None)
+
+    def tail_offroad_2d(state):
+        return jnp.sum(offroad_loss_from_grid(
+            grids_2d, state.agent_state, sim.agent_size,
+            threshold=sim.cfg.offroad_threshold))
+
+    def tail_wrongway_2d(state):
+        return jnp.sum(wrong_way_loss_from_grid(grids_2d, state.agent_state))
+
     def tail_lights(state):
         boxes, _ = boxes_of(state)
         ls = state.traffic_control_state['traffic_light']
@@ -71,6 +82,7 @@ def main():
 
     tails = {'funcstep': tail_none, 'collision': tail_collision,
              'offroad': tail_offroad, 'wrongway': tail_wrongway,
+             'offroad_2d': tail_offroad_2d, 'wrongway_2d': tail_wrongway_2d,
              'lights': tail_lights, 'all_metrics': tail_all}
     which = sys.argv[1:] or list(tails)
 

@@ -28,8 +28,9 @@ import numpy as np
 from flax import struct
 
 from torchdrivesim_tpu.ops.grids import (
-    Grid2D, bilinear_sample, bilinear_sample_quad, nearest_sample,
-    pack_bilinear_quad)
+    Grid2D, RowPackedGrid, bilinear_sample, bilinear_sample_quad,
+    bilinear_sample_quad_rows, nearest_sample, nearest_sample_rows,
+    pack_bilinear_quad, pack_rows)
 
 if TYPE_CHECKING:
     from torchdrivesim_tpu.map import MapConfig
@@ -51,11 +52,20 @@ class MapGrids:
     #: (H, W, 2) int32 bilinear-quad repack of ``distance`` (bf16 corners):
     #: ONE gather per offroad query instead of four (see pack_bilinear_quad)
     distance_quad: Optional[Grid2D] = None
+    #: row-major repacks served by XLA row gathers (~3.6x cheaper than the
+    #: scattered 2D gathers at benchmark query counts; see RowPackedGrid)
+    distance_rows: Optional[RowPackedGrid] = None
+    direction_rows: Optional[RowPackedGrid] = None
 
     def with_quad(self) -> "MapGrids":
-        if self.distance_quad is not None:
-            return self
-        return self.replace(distance_quad=pack_bilinear_quad(self.distance))
+        out = self
+        if out.distance_quad is None:
+            out = out.replace(distance_quad=pack_bilinear_quad(out.distance))
+        if out.distance_rows is None:
+            out = out.replace(distance_rows=pack_rows(out.distance_quad))
+        if out.direction_rows is None and out.direction is not None:
+            out = out.replace(direction_rows=pack_rows(out.direction))
+        return out
 
     def save(self, path: str):
         arrays = {
@@ -101,6 +111,9 @@ def sample_offroad_distance(grids: MapGrids, points: jnp.ndarray) -> jnp.ndarray
     Returns:
         (...) distances.
     """
+    if grids.distance_rows is not None:
+        return bilinear_sample_quad_rows(grids.distance_rows, points,
+                                         fill_value=100.0)
     if grids.distance_quad is not None:
         return bilinear_sample_quad(grids.distance_quad, points,
                                     fill_value=100.0)
@@ -124,8 +137,12 @@ def sample_lane_directions(grids: MapGrids, points: jnp.ndarray):
     all_invalid = jnp.asarray(np.uint32(
         sum(DIRECTION_INVALID << (8 * k) for k in range(DIRECTION_LAYERS))
     ).astype(np.int32))
-    packed = nearest_sample(grids.direction, points,
-                            fill_value=all_invalid)[..., 0]
+    if grids.direction_rows is not None:
+        packed = nearest_sample_rows(grids.direction_rows, points,
+                                     fill_value=all_invalid)
+    else:
+        packed = nearest_sample(grids.direction, points,
+                                fill_value=all_invalid)[..., 0]
     shifts = jnp.asarray([8 * k for k in range(DIRECTION_LAYERS)],
                          dtype=jnp.int32)
     q = (packed[..., None] >> shifts) & 0xFF

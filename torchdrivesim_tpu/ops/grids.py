@@ -164,6 +164,117 @@ def bilinear_sample_quad(packed: Grid2D, points: jnp.ndarray,
     return jnp.where(valid, out, fill_value)
 
 
+@struct.dataclass
+class RowPackedGrid:
+    """
+    (R, 128) row-major repack of an int32 grid for row-gather sampling.
+
+    XLA's gather lowering on TPU costs a near-constant ~8 cycles per gather
+    ROW regardless of row width (measured: 25.6k single-element 2D gathers
+    ~0.2 ms; 25.6k full 128-lane row gathers ~0.055 ms). Packing the grid so
+    each query's channels live in one 128-lane row turns a scattered 2D
+    gather into (row gather -> vectorized masked lane reduce), ~3.6x faster
+    at the benchmark query counts. Values are bit-identical to the 2D grid.
+    """
+    data: jnp.ndarray           #: (R, 128) int32
+    origin: jnp.ndarray         #: (2,) world coordinates of cell (0, 0)
+    cell_size: float = struct.field(pytree_node=False, default=1.0)
+    height: int = struct.field(pytree_node=False, default=0)
+    width: int = struct.field(pytree_node=False, default=0)
+    channels: int = struct.field(pytree_node=False, default=1)
+    #: width padded so rows of 128 lanes hold whole (cell, channel) groups
+    width_pad: int = struct.field(pytree_node=False, default=0)
+
+
+def pack_rows(grid: Grid2D) -> RowPackedGrid:
+    """Repack an int32 (H, W, C) grid (C in {1, 2, 4}) into row-major
+    (R, 128) layout on the host (host data embeds as jit constants without
+    a device round trip)."""
+    data = np.asarray(grid.data)
+    assert data.dtype == np.int32, data.dtype
+    h, w, c = data.shape
+    assert 128 % c == 0
+    cpr = 128 // c                     # cells per 128-lane row
+    wp = -(-w // cpr) * cpr
+    arr = np.zeros((h, wp, c), dtype=np.int32)
+    arr[:, :w] = data
+    rows = arr.reshape(h * wp * c // 128, 128)
+    return RowPackedGrid(
+        data=rows, origin=np.asarray(grid.origin, dtype=np.float32),
+        cell_size=float(grid.cell_size), height=h, width=w, channels=c,
+        width_pad=wp)
+
+
+def _row_sample(packed: RowPackedGrid, yi: jnp.ndarray, xi: jnp.ndarray):
+    """Gather grid cells at integer (yi, xi) (already clipped in-bounds):
+    one row gather per query + one masked lane reduce per channel.
+    Returns a tuple of ``channels`` int32 arrays shaped like ``yi``."""
+    c = packed.channels
+    cpr = 128 // c
+    shape = yi.shape
+    yi = yi.reshape(-1)                # flat 1D indices: XLA's row-gather
+    xi = xi.reshape(-1)                # emitter is ~2x faster than multi-dim
+    row = yi * (packed.width_pad // cpr) + xi // cpr
+    data = jnp.asarray(packed.data)    # host grids embed as jit constants
+    r = jnp.take(data, row, axis=0)    # (N, 128) row gather
+    lane = jax.lax.broadcasted_iota(jnp.int32, (128,), 0)
+    lane0 = ((xi % cpr) * c)[..., None]
+    return tuple(
+        jnp.sum(jnp.where(lane == lane0 + k, r, 0), axis=-1).reshape(shape)
+        for k in range(c))
+
+
+def bilinear_sample_quad_rows(packed: RowPackedGrid, points: jnp.ndarray,
+                              fill_value: float = 0.0) -> jnp.ndarray:
+    """
+    Row-gather variant of :func:`bilinear_sample_quad` (bit-identical
+    outputs): ``packed`` is the quad grid from :func:`pack_bilinear_quad`
+    repacked by :func:`pack_rows` (2 channels). Differentiable w.r.t.
+    ``points`` exactly like the 2D form.
+    """
+    assert packed.channels == 2
+    uv = (points - packed.origin) / packed.cell_size
+    x, y = uv[..., 0], uv[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    h, w = packed.height, packed.width
+    valid = (x0i >= 0) & (x0i < w - 1) & (y0i >= 0) & (y0i < h - 1)
+    xi = jnp.clip(x0i, 0, w - 1)
+    yi = jnp.clip(y0i, 0, h - 1)
+    g0, g1 = _row_sample(packed, yi, xi)
+
+    def unbf(bits):
+        return jax.lax.bitcast_convert_type((bits & 0xFFFF) << 16,
+                                            jnp.float32)
+
+    v00, v01 = unbf(g0 >> 16), unbf(g0)
+    v10, v11 = unbf(g1 >> 16), unbf(g1)
+    top = v00 * (1 - tx) + v01 * tx
+    bot = v10 * (1 - tx) + v11 * tx
+    out = top * (1 - ty) + bot * ty
+    return jnp.where(valid, out, fill_value)
+
+
+def nearest_sample_rows(packed: RowPackedGrid, points: jnp.ndarray,
+                        fill_value) -> jnp.ndarray:
+    """Row-gather variant of :func:`nearest_sample` for a single-channel
+    int32 grid (bit-identical outputs, minus the trailing channel dim)."""
+    assert packed.channels == 1
+    uv = (points - packed.origin) / packed.cell_size
+    xi = jnp.round(uv[..., 0]).astype(jnp.int32)
+    yi = jnp.round(uv[..., 1]).astype(jnp.int32)
+    h, w = packed.height, packed.width
+    valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    xi = jnp.clip(xi, 0, w - 1)
+    yi = jnp.clip(yi, 0, h - 1)
+    (val,) = _row_sample(packed, yi, xi)
+    return jnp.where(valid, val, fill_value)
+
+
 def nearest_sample(grid: Grid2D, points: jnp.ndarray,
                    fill_value: float = 0.0) -> jnp.ndarray:
     """Nearest-neighbor grid sample (for categorical channels)."""

@@ -47,6 +47,43 @@ FACE_CHUNK = 128
 _Z_SENTINEL = np.int32(0x7F800000)
 
 
+def band_rows(res: int) -> int:
+    """
+    Rows per kernel band (= pixel tile) at resolution ``res``: the largest
+    divisor of ``res`` whose flat band tile (``rows * res`` pixels) fits in
+    :data:`PIXELS_PER_TILE` while staying a whole number of 128-lane vector
+    registers (Mosaic requirement for the flat pixel layout).
+
+    Every ``res % 16 == 0`` resolution has one (``rows = 16`` always
+    qualifies); odd sizes like 40 or 120 do not -- gate with
+    :func:`supports_res` and fall back to the XLA rasterizer.
+    """
+    best = 0
+    for rpb in range(1, res + 1):
+        if res % rpb or (rpb * res) % 128:
+            continue
+        if rpb * res > PIXELS_PER_TILE:
+            break
+        best = rpb
+    if not best:
+        raise ValueError(f"no whole-vreg band tiling for res={res}")
+    return best
+
+
+def supports_res(res: int) -> bool:
+    """Whether the flat-band Pallas kernels can tile ``res`` directly."""
+    try:
+        band_rows(res)
+        return True
+    except ValueError:
+        return False
+
+
+def n_bands_for(res: int) -> int:
+    """Kernel bands (pixel tiles / grid steps) per camera at ``res``."""
+    return res // band_rows(res)
+
+
 def _edge_coefficients_edge_major(corners: jnp.ndarray):
     """
     Edge-major affine coefficients: for edge k of every face,
@@ -72,10 +109,10 @@ def _edge_coefficients_edge_major(corners: jnp.ndarray):
     return coef, area
 
 
-def _pixel_coords(res):
+def _pixel_coords(res, tile=PIXELS_PER_TILE):
     # pixel-center coordinates (1, pixels) from the flat pixel index
-    base = pl.program_id(1) * PIXELS_PER_TILE
-    idx = jax.lax.broadcasted_iota(jnp.int32, (1, PIXELS_PER_TILE), 1) + base
+    base = pl.program_id(1) * tile
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + base
     px = (idx // res).astype(jnp.float32) + 0.5
     py = (idx % res).astype(jnp.float32) + 0.5
     return px, py
@@ -89,11 +126,12 @@ def _unpack_rgb(wrgb):
     ], axis=0) * (1.0 / 255.0)
 
 
-def _raster_kernel_packed(coef_ref, packed_ref, bg_ref, out_ref, *, res):
+def _raster_kernel_packed(coef_ref, packed_ref, bg_ref, out_ref, *, res,
+                          tile):
     """Fast path for face counts <= 127: z-RANK (7 bits) and RGB8 share one
     int32, so the per-pixel winner AND its color fall out of a single masked
     min-reduce (rank ordering == z ordering by construction)."""
-    px, py = _pixel_coords(res)
+    px, py = _pixel_coords(res, tile)
 
     def edge(k):
         c = coef_ref[0, k]                               # (F, 3) [a, b, c]
@@ -107,8 +145,8 @@ def _raster_kernel_packed(coef_ref, packed_ref, bg_ref, out_ref, *, res):
 
 
 def _raster_kernel(coef_ref, zbits_ref, rgb_ref, bg_ref, out_ref, *, res,
-                   n_chunks):
-    px, py = _pixel_coords(res)
+                   n_chunks, tile):
+    px, py = _pixel_coords(res, tile)
 
     def chunk_best(coef, zc, rc):
         """Per-pixel winner (z bits, packed rgb) among the given faces."""
@@ -146,8 +184,8 @@ def _raster_kernel(coef_ref, zbits_ref, rgb_ref, bg_ref, out_ref, *, res,
             take = cz < bz
             return jnp.minimum(bz, cz), jnp.where(take, cr, br)
 
-        init = (jnp.full((1, PIXELS_PER_TILE), _Z_SENTINEL, jnp.int32),
-                jnp.full((1, PIXELS_PER_TILE), 1 << 24, jnp.int32))
+        init = (jnp.full((1, tile), _Z_SENTINEL, jnp.int32),
+                jnp.full((1, tile), 1 << 24, jnp.int32))
         best, wrgb = jax.lax.fori_loop(0, n_chunks, body, init)
 
     covered = best < _Z_SENTINEL
@@ -170,7 +208,7 @@ def rasterize_hard_pallas(corners: jnp.ndarray, z: jnp.ndarray,
     """
     b, f = z.shape
     n_pixels = res * res
-    assert n_pixels % PIXELS_PER_TILE == 0
+    tile = band_rows(res) * res        # whole-row pixel tiles (<= 4096)
     # unique z per face: ties resolve to the lowest face index (the bump must
     # stay below the z-level spacing even for full-map face counts)
     z = z + jnp.arange(f, dtype=z.dtype)[None, :] * min(1e-4, 0.09 / max(f, 1))
@@ -187,7 +225,7 @@ def rasterize_hard_pallas(corners: jnp.ndarray, z: jnp.ndarray,
     c8 = jnp.clip(jnp.round(colors * 255.0), 0, 255).astype(jnp.int32)
     rgb = ((c8[..., 0] << 16) | (c8[..., 1] << 8) | c8[..., 2])[..., None]
     bg_flat = background.reshape(b, 3, n_pixels)
-    grid = (b, n_pixels // PIXELS_PER_TILE)
+    grid = (b, n_pixels // tile)
 
     if f <= 127:
         # fast path: z-rank (7 bits, same ordering as z) and RGB8 share one
@@ -199,17 +237,17 @@ def rasterize_hard_pallas(corners: jnp.ndarray, z: jnp.ndarray,
         packed = jnp.where(jnp.abs(area) > 1e-9, packed,
                            np.int32(0x7FFFFFFF))[..., None]  # (B, F, 1)
         out = pl.pallas_call(
-            functools.partial(_raster_kernel_packed, res=res),
+            functools.partial(_raster_kernel_packed, res=res, tile=tile),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 3, f, 3), lambda i, j: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, f, 1), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3, PIXELS_PER_TILE), lambda i, j: (i, 0, j),
+                pl.BlockSpec((1, 3, tile), lambda i, j: (i, 0, j),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 3, PIXELS_PER_TILE),
+            out_specs=pl.BlockSpec((1, 3, tile),
                                    lambda i, j: (i, 0, j),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, 3, n_pixels), jnp.float32),
@@ -229,9 +267,10 @@ def rasterize_hard_pallas(corners: jnp.ndarray, z: jnp.ndarray,
     else:
         f_pad, n_chunks = f, 1
 
-    grid = (b, n_pixels // PIXELS_PER_TILE)
+    grid = (b, n_pixels // tile)
     out = pl.pallas_call(
-        functools.partial(_raster_kernel, res=res, n_chunks=n_chunks),
+        functools.partial(_raster_kernel, res=res, n_chunks=n_chunks,
+                          tile=tile),
         grid=grid,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024) if n_chunks > 1 else None,
@@ -242,10 +281,10 @@ def rasterize_hard_pallas(corners: jnp.ndarray, z: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, f_pad, 1), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, PIXELS_PER_TILE), lambda i, j: (i, 0, j),
+            pl.BlockSpec((1, 3, tile), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 3, PIXELS_PER_TILE), lambda i, j: (i, 0, j),
+        out_specs=pl.BlockSpec((1, 3, tile), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 3, n_pixels), jnp.float32),
     )(coef, zbits, rgb, bg_flat)
