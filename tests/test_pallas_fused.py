@@ -51,12 +51,13 @@ def _scene(seed, b=3, q=30, t=12):
     return mip, cam_xy, cam_sc, quads, qz, qc, tris, tz, tc
 
 
-@pytest.mark.parametrize('seed,res', [(0, 128), (7, 128), (0, 64), (7, 64)])
+@pytest.mark.parametrize('seed,res', [(0, 128), (7, 128), (0, 64), (7, 64),
+                                      (0, 96), (3, 32)])
 def test_fused_matches_split_pipeline(interpret_mode, seed, res):
     mip, cam_xy, cam_sc, quads, qz, qc, tris, tz, tc = _scene(seed)
     scale = 2.0 / 40.0
     bg_color = jnp.asarray([0.1, 0.2, 0.3])
-    n_bands = res * res // R.PIXELS_PER_TILE
+    n_bands = R.n_bands_for(res)
     sq, qz, qc = sort_prims_rowmajor(quads, qz, qc, res, 56)
     st, tz, tc = sort_prims_rowmajor(tris, tz, tc, res, 56)
     qmask = prim_band_chunk_masks(sq, res, n_bands)
@@ -81,7 +82,7 @@ def test_fused_no_prims_is_pure_background(interpret_mode):
     scale = 2.0 / 40.0
     bg_color = jnp.asarray([0.5, 0.0, 1.0])
     res = 128
-    n_bands = res * res // R.PIXELS_PER_TILE
+    n_bands = R.n_bands_for(res)
     b = cam_xy.shape[0]
     # degenerate (all-zero) prims with dead masks: only the warp remains
     sq = jnp.zeros((b, 8, 4, 2), jnp.float32)
@@ -96,14 +97,14 @@ def test_fused_no_prims_is_pure_background(interpret_mode):
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(bg))
 
 
-@pytest.mark.parametrize('res', [128, 64])
+@pytest.mark.parametrize('res', [128, 64, 96])
 def test_fused_packed_output_matches_float(interpret_mode, res):
     """``packed_output`` must encode exactly the float path's 8-bit colors:
     unpack(packed) == round(float_image * 255) for every pixel."""
     mip, cam_xy, cam_sc, quads, qz, qc, tris, tz, tc = _scene(5)
     scale = 2.0 / 40.0
     bg_color = jnp.asarray([0.1, 0.2, 0.3])
-    n_bands = res * res // R.PIXELS_PER_TILE
+    n_bands = R.n_bands_for(res)
     sq, qz, qc = sort_prims_rowmajor(quads, qz, qc, res, 56)
     st, tz, tc = sort_prims_rowmajor(tris, tz, tc, res, 56)
     qmask = prim_band_chunk_masks(sq, res, n_bands)
@@ -129,7 +130,7 @@ def test_fused_camera_batching_padding(interpret_mode, b):
     scale = 2.0 / 40.0
     bg_color = jnp.asarray([0.3, 0.3, 0.3])
     res = 128
-    n_bands = res * res // R.PIXELS_PER_TILE
+    n_bands = R.n_bands_for(res)
     sq, qz, qc = sort_prims_rowmajor(quads, qz, qc, res, 56)
     st, tz, tc = sort_prims_rowmajor(tris, tz, tc, res, 56)
     qmask = prim_band_chunk_masks(sq, res, n_bands)

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from torchdrivesim_tpu.ops.grids import Grid2D
 from torchdrivesim_tpu.ops.pallas_rasterize import (
-    PIXELS_PER_TILE, _prep_prims,
+    PIXELS_PER_TILE, _prep_prims, band_rows,
 )
 from torchdrivesim_tpu.ops.pallas_warp import (
     RES, WINDOW, start_window_dma, warp_coefficients, warp_view_packed,
@@ -57,7 +57,7 @@ def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
 
     sentinel = np.int32(0x7FFFFFFF)
     inv255 = 1.0 / 255.0
-    rpb = PIXELS_PER_TILE // res                 # rows per band
+    rpb = band_rows(res)                         # rows per band
 
     if res != RES:
         # res < 128: the (1, PIXELS) -> (rpb, res) relayout the flat path
@@ -151,7 +151,7 @@ def _fused_cameras_2d(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref,
     replaces."""
     sentinel = np.int32(0x7FFFFFFF)
     inv255 = 1.0 / 255.0
-    rpb = PIXELS_PER_TILE // res                 # rows per band
+    rpb = band_rows(res)                         # rows per band
 
     for c in range(cams):
         best_ref[:, :] = jnp.full((res, res), sentinel, jnp.int32)
@@ -239,8 +239,10 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
         background_color: (3,) in [0, 1] for off-map pixels.
         quads / tris: (B, Q, 4, 2) / (B, T, 3, 2) SCREEN-space corners.
         qmask / tmask: (B, J, 1, ceil(Q/8)) / (B, J, 1, ceil(T/8)) int32.
-        res: output resolution; res*res must divide into PIXELS_PER_TILE
-            bands and res <= 128 (64 and 128 in practice).
+        res: output resolution, <= 128 with a whole-vreg band tiling
+            (``pallas_rasterize.supports_res``; any multiple of 16).
+            Resolutions above 128 are served by the renderer's 2x2
+            sub-camera tiling over this same kernel.
         packed_output: emit the image as (B, res, res) int32 0x00BBGGRR
             instead of 3 float channels -- identical 8-bit color content at
             a third of the HBM write traffic; decode on read with
@@ -252,9 +254,7 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
     """
     assert res <= RES, "the 256-texel window only covers views up to 128 px"
     b = cam_xy.shape[0]
-    n_pixels = res * res
-    assert n_pixels % PIXELS_PER_TILE == 0, res
-    n_bands = n_pixels // PIXELS_PER_TILE
+    n_bands = res // band_rows(res)
     assert qmask.shape[:2] == (b, n_bands), qmask.shape
     assert tmask.shape[:2] == (b, n_bands), tmask.shape
 

@@ -296,7 +296,7 @@ def rasterize_hard_pallas(corners: jnp.ndarray, z: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _raster_kernel_prims(qcoef_ref, qpk_ref, tcoef_ref, tpk_ref, bg_ref,
-                         out_ref, *, res):
+                         out_ref, *, res, tile=PIXELS_PER_TILE):
     """Mixed quad + triangle rasterization, packed-winner resolution.
 
     A quad (any parallelogram: boxes stay parallelograms under the rigid
@@ -304,7 +304,7 @@ def _raster_kernel_prims(qcoef_ref, qpk_ref, tcoef_ref, tpk_ref, bg_ref,
     instead of the six edge functions of its two triangles -- half the
     per-pixel work for box-shaped content, which is most of a driving scene.
     """
-    px, py = _pixel_coords(res)
+    px, py = _pixel_coords(res, tile)
     sentinel = np.int32(0x7FFFFFFF)
 
     def affine(coef_ref, k):
@@ -330,15 +330,16 @@ def _raster_kernel_prims(qcoef_ref, qpk_ref, tcoef_ref, tpk_ref, bg_ref,
 
 def _raster_kernel_prims_masked(qm_ref, tm_ref, qcoef_ref, qpk_ref,
                                 tcoef_ref, tpk_ref, bg_ref, out_ref,
-                                best_ref, *, res, qp, tp, chunk):
+                                best_ref, *, res, qp, tp, chunk,
+                                tile=PIXELS_PER_TILE):
     """:func:`_raster_kernel_prims` with per-(band, chunk) occupancy masks:
     prims come row-major sorted (visible first), and a chunk whose prims
     cannot touch this program's pixel band is skipped via ``@pl.when`` --
     per-pixel VPU work scales with the band's actual prim density, not the
     static budget. Masks are conservative bbox tests, so skipping is exact."""
-    px, py = _pixel_coords(res)
+    px, py = _pixel_coords(res, tile)
     sentinel = np.int32(0x7FFFFFFF)
-    best_ref[:] = jnp.full((1, PIXELS_PER_TILE), sentinel, jnp.int32)
+    best_ref[:] = jnp.full((1, tile), sentinel, jnp.int32)
 
     def affine(c):
         return c[:, 0:1] * px + c[:, 1:2] * py + c[:, 2:3]
@@ -459,14 +460,14 @@ def rasterize_hard_pallas_prims(quads: jnp.ndarray, qz: jnp.ndarray,
     """
     b = qz.shape[0]
     n_pixels = res * res
-    assert n_pixels % PIXELS_PER_TILE == 0
+    tile = band_rows(res) * res
     qcoef, qpk, tcoef, tpk = _prep_prims(quads, qz, qcolors, tris, tz, tcolors)
     qp, tp = qpk.shape[1], tpk.shape[1]
 
     bg_flat = background.reshape(b, 3, n_pixels)
-    grid = (b, n_pixels // PIXELS_PER_TILE)
+    grid = (b, n_pixels // tile)
     out = pl.pallas_call(
-        functools.partial(_raster_kernel_prims, res=res),
+        functools.partial(_raster_kernel_prims, res=res, tile=tile),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 2, qp, 3), lambda i, j: (i, 0, 0, 0),
@@ -477,10 +478,10 @@ def rasterize_hard_pallas_prims(quads: jnp.ndarray, qz: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tp, 1), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, PIXELS_PER_TILE), lambda i, j: (i, 0, j),
+            pl.BlockSpec((1, 3, tile), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 3, PIXELS_PER_TILE), lambda i, j: (i, 0, j),
+        out_specs=pl.BlockSpec((1, 3, tile), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 3, n_pixels), jnp.float32),
     )(qcoef, qpk, tcoef, tpk, bg_flat)
@@ -497,7 +498,7 @@ def rasterize_hard_pallas_prims_banded(quads: jnp.ndarray, qz: jnp.ndarray,
     """
     Banded variant of :func:`rasterize_hard_pallas_prims`: the kernel's pixel
     tile ``j`` covers image rows ``[j*bh, (j+1)*bh)`` with
-    ``bh = PIXELS_PER_TILE // res``, and per-(band, chunk) occupancy masks
+    ``bh = band_rows(res)``, and per-(band, chunk) occupancy masks
     (:func:`~torchdrivesim_tpu.ops.rasterize.prim_band_chunk_masks` over
     row-major-sorted prims) let each tile skip whole 8-prim chunks that
     cannot touch it. One prim set per camera -- no per-band duplication, no
@@ -509,7 +510,7 @@ def rasterize_hard_pallas_prims_banded(quads: jnp.ndarray, qz: jnp.ndarray,
             (visible first; see ``sort_prims_rowmajor``); qz: (B, Q);
             qcolors: (B, Q, 3); tris: (B, T, 3, 2); tz / tcolors analogous.
         qmask / tmask: (B, J, 1, ceil(Q/8)) / (B, J, 1, ceil(T/8)) int32
-            occupancy, J == res*res // PIXELS_PER_TILE bands.
+            occupancy, J == n_bands_for(res) bands.
         background: (B, 3, H, W) channels-first.
     Returns:
         (B, 3, H, W) image in [0, 1].
@@ -517,8 +518,8 @@ def rasterize_hard_pallas_prims_banded(quads: jnp.ndarray, qz: jnp.ndarray,
     b, q = qz.shape
     t = tz.shape[1]
     n_pixels = res * res
-    assert n_pixels % PIXELS_PER_TILE == 0
-    n_bands = n_pixels // PIXELS_PER_TILE
+    tile = band_rows(res) * res
+    n_bands = n_pixels // tile
     assert qmask.shape[:2] == (b, n_bands), qmask.shape
     assert tmask.shape[:2] == (b, n_bands), tmask.shape
 
@@ -538,7 +539,7 @@ def rasterize_hard_pallas_prims_banded(quads: jnp.ndarray, qz: jnp.ndarray,
     cam_idx3 = lambda i, j: (i, 0, 0)
     out = pl.pallas_call(
         functools.partial(_raster_kernel_prims_masked, res=res, qp=qp, tp=tp,
-                          chunk=8),
+                          chunk=8, tile=tile),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, 1, cq), lambda i, j: (i, j, 0, 0),
@@ -549,12 +550,12 @@ def rasterize_hard_pallas_prims_banded(quads: jnp.ndarray, qz: jnp.ndarray,
             pl.BlockSpec((1, qp, 1), cam_idx3, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, tp, 3), cam_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tp, 1), cam_idx3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, PIXELS_PER_TILE), lambda i, j: (i, 0, j),
+            pl.BlockSpec((1, 3, tile), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 3, PIXELS_PER_TILE), lambda i, j: (i, 0, j),
+        out_specs=pl.BlockSpec((1, 3, tile), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 3, n_pixels), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, PIXELS_PER_TILE), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((1, tile), jnp.int32)],
     )(qmask, tmask, qcoef, qpk, tcoef, tpk, bg_flat)
     return out.reshape(b, 3, res, res)

@@ -20,6 +20,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 logger = logging.getLogger(__name__)
 _warned_fallback_res = set()
@@ -64,6 +65,58 @@ def image_checksum(image: jnp.ndarray) -> jnp.ndarray:
     if image.dtype == jnp.int32:
         return jnp.sum(unpack_rgb8_chw(image))
     return jnp.sum(image)
+
+
+def _expand_subcameras(sq, st, qz, qcol, tz, tcol, cam_xy, cam_sc,
+                       size, sub, scale, left_handed):
+    """
+    2x2 sub-camera decomposition for resolutions above the 128-px warp
+    window: quadrant (i, j) of a ``size``-px view is itself a ``sub``-px
+    view (``sub = size // 2``) at the SAME pixels-per-meter, centered on
+    the quadrant's world center. Prim screen coordinates shift by the
+    quadrant origin in pixel space; camera centers shift by the rotated
+    pixel offset in world space (the exact inverse of the screen transform
+    in ``ops.pallas_warp.warp_coefficients``: pixel (r, c) maps to
+    ``cam + R(psi) @ (forward, left)`` with ``forward = (size/2 - r)/ppm``,
+    ``left = lh * (size/2 - c)/ppm``), so each quadrant renders the
+    identical scene content.
+
+    Returns the per-sub-view arrays with the quadrant index FASTEST in the
+    leading dim (row-major: (i, j) -> 2i + j), so one 4-camera fused
+    program renders exactly one full image.
+    """
+    bl = qz.shape[0]
+    ppm = scale * size / 2.0                 # output pixels per meter
+    offs = np.asarray([[0, 0], [0, sub], [sub, 0], [sub, sub]], np.float32)
+    sq_sub = (sq[:, None] - offs[None, :, None, None, :]).reshape(
+        (bl * 4,) + sq.shape[1:])
+    st_sub = (st[:, None] - offs[None, :, None, None, :]).reshape(
+        (bl * 4,) + st.shape[1:])
+    rep = lambda a: jnp.repeat(a, 4, axis=0)
+    lh = -1.0 if left_handed else 1.0
+    # quadrant center pixel = offs + sub/2; its (forward, left) offset from
+    # the full-view center (pixel size/2), rotated into world coordinates
+    off_f = (size / 2.0 - offs[:, 0] - sub / 2.0) / ppm          # (4,)
+    off_l = lh * (size / 2.0 - offs[:, 1] - sub / 2.0) / ppm
+    sin, cos = cam_sc[:, 0:1], cam_sc[:, 1:2]                    # (bl, 1)
+    cx = cam_xy[:, 0:1] + cos * off_f[None] - sin * off_l[None]  # (bl, 4)
+    cy = cam_xy[:, 1:2] + sin * off_f[None] + cos * off_l[None]
+    cam_xy_sub = jnp.stack([cx, cy], axis=-1).reshape(bl * 4, 2)
+    return (sq_sub, st_sub, rep(qz), rep(qcol), rep(tz), rep(tcol),
+            cam_xy_sub, rep(cam_sc))
+
+
+def _assemble_quadrants(image, size):
+    """Stitch 2x2 quadrant renders (quadrant fastest in the leading dim,
+    row-major) back into full frames; float (B*4, 3, s, s) or packed
+    (B*4, s, s) int32 input."""
+    s = size // 2
+    bl = image.shape[0] // 4
+    if image.ndim == 3:
+        return image.reshape(bl, 2, 2, s, s).transpose(
+            0, 1, 3, 2, 4).reshape(bl, size, size)
+    return image.reshape(bl, 2, 2, 3, s, s).transpose(
+        0, 3, 1, 4, 2, 5).reshape(bl, 3, size, size)
 
 
 class JaxRenderer(BirdviewRenderer):
@@ -146,27 +199,30 @@ class JaxRenderer(BirdviewRenderer):
     def _use_pallas(self, res: int) -> bool:
         if not self.cfg.use_pallas or self.cfg.differentiable:
             return False
-        # every Pallas raster path tiles the image into whole 4096-pixel
-        # bands and caps at the 256-texel window: unsupported resolutions
-        # must take the XLA fallback instead of hitting in-kernel asserts
-        if res > 128 or (res * res) % 4096 != 0:
+        # the Pallas raster paths tile the image into whole-vector-register
+        # pixel bands: resolutions without such a tiling (supports_res; any
+        # multiple of 16 has one) take the XLA fallback instead of hitting
+        # in-kernel asserts
+        from torchdrivesim_tpu.ops.pallas_rasterize import supports_res
+        if not supports_res(res):
             if _on_tpu() and res not in _warned_fallback_res:
                 _warned_fallback_res.add(res)
                 logger.warning(
-                    "res=%d is outside the Pallas fast path (needs res <= "
-                    "128 with res*res a multiple of 4096); falling back to "
-                    "the XLA rasterizer, which runs at gather speed on TPU "
-                    "(~3x slower). Pick res in {64, 128} for full speed.",
-                    res)
+                    "res=%d is outside the Pallas fast path (needs a "
+                    "whole-vreg band tiling; any multiple of 16 works); "
+                    "falling back to the XLA rasterizer, which runs at "
+                    "gather speed on TPU (~3x slower).", res)
             return False
         return _on_tpu()
 
     def _warp_mip(self, scale: float, size: int):
         """The mip level for the warp kernels, or None when the warp path
-        can't serve this camera (resolution without a whole number of
-        4096-pixel bands, or a view too wide for the coarsest mip)."""
+        can't serve this camera (resolution without a whole-vreg band
+        tiling, above 128 px -- see :meth:`_tiled_mip` -- or a view too
+        wide for the coarsest mip)."""
+        from torchdrivesim_tpu.ops.pallas_rasterize import supports_res
         pyramid = getattr(self, '_mip_pyramid', None)
-        if pyramid is None or size > 128 or (size * size) % 4096 != 0:
+        if pyramid is None or size > 128 or not supports_res(size):
             return None
         from torchdrivesim_tpu.ops.pallas_warp import select_mip
         fov = 2.0 / scale
@@ -174,6 +230,26 @@ class JaxRenderer(BirdviewRenderer):
         if mip.cell_size < fov * 1.45 / size:
             return None   # coarsest level still can't cover the rotated view
         return mip
+
+    def _tiled_mip(self, scale: float, size: int):
+        """Mip + sub-view size for the 2x2 sub-camera decomposition serving
+        resolutions above 128: each quadrant of the image is an independent
+        (size/2)-pixel view at the SAME texels-per-pixel (the mip rule
+        ``cell >= fov*1.45/size`` equals the per-quadrant rule
+        ``cell >= sub_fov*1.45/sub_size``), so the 256-texel-window warp
+        machinery serves it unchanged. Returns (mip, sub_size) or None."""
+        from torchdrivesim_tpu.ops.pallas_rasterize import supports_res
+        pyramid = getattr(self, '_mip_pyramid', None)
+        sub = size // 2
+        if (pyramid is None or size <= 128 or size % 2 != 0 or sub > 128
+                or not supports_res(sub)):
+            return None
+        from torchdrivesim_tpu.ops.pallas_warp import select_mip
+        fov = 2.0 / scale
+        mip = select_mip(pyramid, fov=fov, res=size)
+        if mip.cell_size < fov * 1.45 / size:
+            return None
+        return mip, sub
 
     def render_rgb_mesh_chw(self, mesh: RGBMesh, res: Resolution,
                             cameras: Cameras,
@@ -358,7 +434,7 @@ class JaxRenderer(BirdviewRenderer):
         bg_color = jnp.asarray(self.get_color('background'), jnp.float32) / 255.0
         use_pallas = self._use_pallas(size)
         mip = self._warp_mip(scale, size) if use_pallas else None
-        use_warp = mip is not None
+        tiled = self._tiled_mip(scale, size) if use_pallas else None
         lh = self.cfg.left_handed_coordinates
 
         if use_pallas:
@@ -367,7 +443,7 @@ class JaxRenderer(BirdviewRenderer):
                 # every shape below derives from the LOCAL leading dim
                 bl = qz.shape[0]
                 from torchdrivesim_tpu.ops.pallas_rasterize import (
-                    PIXELS_PER_TILE, rasterize_hard_pallas_prims_banded)
+                    n_bands_for, rasterize_hard_pallas_prims_banded)
                 from torchdrivesim_tpu.ops.rasterize import (
                     sort_prims_rowmajor_with_masks)
                 sq = camera_rows_cols(
@@ -380,29 +456,47 @@ class JaxRenderer(BirdviewRenderer):
                     left_handed=lh).reshape(bl, max(t, 1), 3, 2)
                 if t == 0:
                     st = st[:, :0]
+                if tiled is not None:
+                    # res > 128: render four independent (size/2)-px
+                    # quadrant views through the same fused kernel (prim
+                    # coords shift in pixel space; sub-cameras recenter in
+                    # world space), then stitch -- each quadrant gets its
+                    # own prim budget and band masks
+                    mip_k, size_k = tiled
+                    (sq, st, qz_l, qcol_l, tz_l, tcol_l, cam_xy_l,
+                     cam_sc_l) = _expand_subcameras(
+                        sq, st, qz, qcolors, tz, tcolors, cam_xy, cam_sc,
+                        size, size_k, scale, lh)
+                    scale_k = scale * size / size_k
+                else:
+                    mip_k, size_k, scale_k = mip, size, scale
+                    qz_l, qcol_l, tz_l, tcol_l = qz, qcolors, tz, tcolors
+                    cam_xy_l, cam_sc_l = cam_xy, cam_sc
                 # band masking: prims sort row-major (visible first,
-                # gather-free lax.sort) and each 32-row kernel tile skips
+                # gather-free lax.sort) and each kernel row-band skips
                 # whole 8-prim chunks that cannot touch it -- per-pixel work
                 # tracks LOCAL density (typically a handful of prims)
                 # instead of the camera budget; the screen stats ride
                 # through the sort so the masks need no second pass over
                 # the corner tensor
-                n_bands = (size * size) // PIXELS_PER_TILE
+                n_bands = n_bands_for(size_k)
                 cap = min(max(8, self.cfg.band_budget), 56)
                 sq_s, qz_s, qcol_s, qmask = sort_prims_rowmajor_with_masks(
-                    sq, qz, qcolors, size, cap, n_bands)
+                    sq, qz_l, qcol_l, size_k, cap, n_bands)
                 st_s, tz_s, tcol_s, tmask = sort_prims_rowmajor_with_masks(
-                    st, tz, tcolors, size, cap, n_bands)
-                if use_warp:
+                    st, tz_l, tcol_l, size_k, cap, n_bands)
+                if mip_k is not None:
                     # fused kernel: warp + rasterize + composite in one
                     # program, no background HBM round trip (bit-exact vs
                     # the split path)
                     from torchdrivesim_tpu.ops.pallas_fused import (
                         render_prims_fused_pallas)
                     image = render_prims_fused_pallas(
-                        mip, cam_xy, cam_sc, scale, bg_color, sq_s, qz_s,
-                        qcol_s, st_s, tz_s, tcol_s, qmask, tmask, res=size,
-                        left_handed=lh, packed_output=packed)
+                        mip_k, cam_xy_l, cam_sc_l, scale_k, bg_color, sq_s,
+                        qz_s, qcol_s, st_s, tz_s, tcol_s, qmask, tmask,
+                        res=size_k, left_handed=lh, packed_output=packed)
+                    if tiled is not None:
+                        image = _assemble_quadrants(image, size)
                     if packed:
                         return image
                 else:
