@@ -34,7 +34,8 @@ from torchdrivesim_tpu.ops.pallas_rasterize import (
     PIXELS_PER_TILE, _prep_prims, band_rows,
 )
 from torchdrivesim_tpu.ops.pallas_warp import (
-    RES, WINDOW, start_window_dma, warp_coefficients, warp_view_packed,
+    RES, WIN_ROWS, WINDOW, start_window_dma, warp_coefficients,
+    warp_view_packed,
 )
 
 #: cameras per fused program: the per-camera work is a few microseconds, so
@@ -311,7 +312,7 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
         out_specs=out_spec,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((cams, WINDOW, WINDOW), jnp.int32),
+            pltpu.VMEM((cams, WIN_ROWS, WINDOW), jnp.int32),
             pltpu.SemaphoreType.DMA((cams,)),
             pltpu.VMEM((n_bands, PIXELS_PER_TILE), jnp.int32) if res == RES
             else pltpu.VMEM((res, res), jnp.int32),

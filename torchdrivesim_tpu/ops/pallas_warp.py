@@ -8,8 +8,9 @@ exploits the structure of the problem: an orthographic camera view is an
 AFFINE warp of the texture, and affine warps decompose into two axis-aligned
 resampling passes (Catmull-Smith two-pass warping):
 
-1. a 256x256 window of the right mip level around each camera is DMA'd
-   HBM -> VMEM (contiguous, offsets aligned to the (8, 128) tiling);
+1. a 144x256 window of the right mip level around each camera is DMA'd
+   HBM -> VMEM (row origin 8-aligned and camera-tight, lane origin
+   128-aligned -- see WIN_ROWS / WINDOW);
 2. pass 1 resamples rows with ``tpu.dynamic_gather`` along lanes -- the one
    vectorized gather Mosaic supports, applied per 128-lane slab;
 3. pass 2 transposes and lane-gathers again.
@@ -36,7 +37,17 @@ from jax.experimental.pallas import tpu as pltpu
 from torchdrivesim_tpu.ops.grids import Grid2D
 
 RES = 128        #: output resolution (== TPU lane width)
-WINDOW = 256     #: texture window size (covers any rotated 128-texel view)
+WINDOW = 256     #: texture window LANE count (origins align to 128 lanes, so
+                 #: covering a view that may straddle an alignment boundary
+                 #: needs 128 + 128 lanes)
+#: texture window ROW count. Rows only need 8-sublane alignment (the DMA is
+#: tile-granular at (8, 128)), so the row origin tracks the camera tightly:
+#: the ``select_mip`` contract bounds the rotated view's half-extent at
+#: ``0.7071 * 1.45**-1 * res <= 62.5`` texels, plus nearest-rounding and the
+#: +-4 texel origin-rounding slack, 144 rows always cover it. The row-tight
+#: window nearly halves the pass-1 gather work and the window DMA traffic
+#: vs a square 256-row window.
+WIN_ROWS = 144
 
 
 def build_mip_pyramid(texture: Grid2D, max_levels: int = 6):
@@ -83,18 +94,25 @@ def select_mip(levels, fov: float, res: int = RES):
     return levels[-1]
 
 
-def _gather_lanes_256(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def _gather_lanes(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """
-    Vectorized gather along lanes from a 256-wide table: two 128-lane slabs
-    combined by slab id (``tpu.dynamic_gather`` handles one vreg of lanes).
+    Vectorized gather along lanes from a table up to 256 wide: two 128-lane
+    slabs combined by slab id (``tpu.dynamic_gather`` handles one vreg of
+    lanes). For widths in (128, 256) the high slab OVERLAPS the low one
+    (offset ``w - 128``) so both stay exactly 128 lanes wide -- the only
+    table shape Mosaic's dynamic_gather is known-good on.
 
     Args:
-        table: (R, 256); idx: (R, 128) int32 in [0, 256).
+        table: (R, w) with w <= 256; idx: (R, 128) int32 in [0, w).
     Returns:
         (R, 128) gathered values.
     """
+    w = table.shape[-1]
+    if w <= 128:
+        return jnp.take_along_axis(table, jnp.clip(idx, 0, w - 1), axis=1)
+    off = w - 128
     lo = jnp.take_along_axis(table[:, :128], jnp.clip(idx, 0, 127), axis=1)
-    hi = jnp.take_along_axis(table[:, 128:], jnp.clip(idx - 128, 0, 127), axis=1)
+    hi = jnp.take_along_axis(table[:, off:], jnp.clip(idx - off, 0, 127), axis=1)
     return jnp.where(idx < 128, lo, hi)
 
 
@@ -104,33 +122,34 @@ def _gather_lanes_256(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 CAMS_PER_PROGRAM = 4
 
 
-def warp_view_packed(fcoef_ref, icoef_ref, c, window_ref, dma=None,
-                     tmp_ref=None):
+def warp_view_packed(fcoef_ref, icoef_ref, c, window_ref, dma, tmp_ref):
     """
-    In-kernel two-pass warp of one camera's loaded ``(WINDOW, WINDOW)`` int32
-    texture window into its packed ``(RES, RES)`` RGB8 view (0x00BBGGRR);
-    off-texture pixels get the packed background color. Shared by the
-    standalone warp kernel and the fused warp+rasterize kernel.
+    In-kernel two-pass warp of one camera's loaded ``(WIN_ROWS, WINDOW)``
+    int32 texture window into its packed ``(RES, RES)`` RGB8 view
+    (0x00BBGGRR); off-texture pixels get the packed background color. Shared
+    by the standalone warp kernel and the fused warp+rasterize kernel.
+
+    The standard branch resamples lanes first (pass-1 table = the window,
+    one gather row per WINDOW ROW -- the row-tight window is what keeps this
+    pass cheap); the ill-conditioned-rotation branch (``flip``, rotations
+    near +-90 deg) transposes the window under ``@pl.when`` so only one
+    branch executes, gathering along the window's ROW axis instead. Both
+    write pass-1 results into ``tmp_ref``; rows the standard branch leaves
+    untouched are only ever addressed by out-of-texture pixels, which the
+    validity mask replaces with the background color.
 
     Args:
         fcoef_ref / icoef_ref: SMEM coefficient refs (see
             :func:`warp_background_pallas` for the layout), indexed at camera
             slot ``c``.
-        window_ref: (WINDOW, WINDOW) int32 texture window VMEM ref.
-        dma: optional in-flight copy filling ``window_ref``; waited on only
-            after the index math, so the copy overlaps compute.
-        tmp_ref: optional (WINDOW, RES) int32 scratch. When given, the
-            ill-conditioned-rotation branch transposes the window under
-            ``@pl.when`` so only ONE branch executes -- without it the
-            (256, 256) transpose relayout is computed for every camera and
-            discarded by a select half the time.
+        window_ref: (WIN_ROWS, WINDOW) int32 texture window VMEM ref.
+        dma: in-flight copy filling ``window_ref``; waited on only after the
+            index math, so the copy overlaps compute.
+        tmp_ref: (WINDOW, RES) int32 pass-1 scratch (sized for the flip
+            branch; the standard branch uses its first WIN_ROWS rows).
     """
     rows = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 0).astype(jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 1).astype(jnp.float32)
-    rows256 = jax.lax.broadcasted_iota(
-        jnp.int32, (WINDOW, RES), 0).astype(jnp.float32)
-    cols256 = jax.lax.broadcasted_iota(
-        jnp.int32, (WINDOW, RES), 1).astype(jnp.float32)
 
     flip = icoef_ref[c, 0, 2]                    # 1 -> use transposed window
     bg_packed = icoef_ref[c, 0, 3]
@@ -141,9 +160,13 @@ def warp_view_packed(fcoef_ref, icoef_ref, c, window_ref, dma=None,
     tx_a, tx_b, tx_c = f(9), f(10), f(11)
     h_tex, w_tex = f(12), f(13)
 
-    # pass-1 indices on the (window-row, output-col) grid: h(r', c)
-    h_idx = jnp.floor(ha * rows256 + hb * cols256 + hc + 0.5).astype(jnp.int32)
-    h_idx = jnp.clip(h_idx, 0, WINDOW - 1)
+    def h_idx_on(shape, bound):
+        # pass-1 indices on the (pass-1-row, output-col) grid: h(r', c)
+        rr = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+        cc = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+        h = jnp.floor(ha * rr + hb * cc + hc + 0.5).astype(jnp.int32)
+        return jnp.clip(h, 0, bound - 1)
+
     # pass-2 indices on the TRANSPOSED output grid (dim0 = c, dim1 = r):
     # v(r, c) with r = cols iota, c = rows iota
     v_idx_t = jnp.floor(va * cols + vb * rows + vc + 0.5).astype(jnp.int32)
@@ -155,31 +178,31 @@ def warp_view_packed(fcoef_ref, icoef_ref, c, window_ref, dma=None,
 
     if dma is not None:
         dma.wait()
-    if tmp_ref is None:
-        window = window_ref[:, :]
-        window = jnp.where(flip == 1, window.T, window)
-        tmp = _gather_lanes_256(window, h_idx)   # (256, 128)
-    else:
-        @pl.when(flip == 1)
-        def _():
-            tmp_ref[:, :] = _gather_lanes_256(window_ref[:, :].T, h_idx)
 
-        @pl.when(flip != 1)
-        def _():
-            tmp_ref[:, :] = _gather_lanes_256(window_ref[:, :], h_idx)
+    @pl.when(flip == 1)
+    def _():
+        # pass-1 rows = window LANES; h indexes window ROWS (width WIN_ROWS)
+        tmp_ref[:, :] = _gather_lanes(window_ref[:, :].T,
+                                      h_idx_on((WINDOW, RES), WIN_ROWS))
 
-        tmp = tmp_ref[:, :]
-    out_t = _gather_lanes_256(tmp.T, v_idx_t)    # (128, 128), transposed
+    @pl.when(flip != 1)
+    def _():
+        # pass-1 rows = window ROWS; h indexes window LANES (width WINDOW)
+        tmp_ref[0:WIN_ROWS, :] = _gather_lanes(
+            window_ref[:, :], h_idx_on((WIN_ROWS, RES), WINDOW))
+
+    out_t = _gather_lanes(tmp_ref[:, :].T, v_idx_t)  # (128, 128), transposed
     packed = out_t.T
     return jnp.where(valid, packed, bg_packed)
 
 
 def start_window_dma(icoef_ref, c, tex_ref, win_ref, sem):
-    """Kick off the HBM -> VMEM copy of camera ``c``'s texture window."""
+    """Kick off the HBM -> VMEM copy of camera ``c``'s texture window
+    (WIN_ROWS sublane-aligned rows x WINDOW lane-aligned lanes)."""
     oy = pl.multiple_of(icoef_ref[c, 0, 0], 8)
     ox = pl.multiple_of(icoef_ref[c, 0, 1], 128)
     dma = pltpu.make_async_copy(
-        tex_ref.at[pl.ds(oy, WINDOW), pl.ds(ox, WINDOW)], win_ref, sem)
+        tex_ref.at[pl.ds(oy, WIN_ROWS), pl.ds(ox, WINDOW)], win_ref, sem)
     dma.start()
     return dma
 
@@ -240,14 +263,16 @@ def warp_coefficients(mip: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray,
     e_y = (cam_xy[:, 1] - origin[1]) / cell + m * h0 * (sin + lh * cos)
     e_x = (cam_xy[:, 0] - origin[0]) / cell + m * h0 * (cos - lh * sin)
 
-    # 128-aligned window origins such that the camera center lands within
-    # 64 texels of the window center (the view half-extent is <= 63 texels
-    # by the select_mip contract)
+    # window origins: lanes align to 128 (so covering a view that may
+    # straddle an alignment boundary needs the full 256-lane window), rows
+    # only to the 8-row sublane tile -- the row origin tracks the camera to
+    # within +-4 texels, so WIN_ROWS rows always cover the <= 63.5-texel
+    # view half-extent guaranteed by the select_mip contract
     cy = (cam_xy[:, 1] - origin[1]) / cell
     cx = (cam_xy[:, 0] - origin[0]) / cell
-    oy = 128 * jnp.round((cy - 128.0) / 128.0).astype(jnp.int32)
+    oy = 8 * jnp.round((cy - WIN_ROWS / 2.0) / 8.0).astype(jnp.int32)
     ox = 128 * jnp.round((cx - 128.0) / 128.0).astype(jnp.int32)
-    oy = jnp.clip(oy, 0, max(h_pad - WINDOW, 0))
+    oy = jnp.clip(oy, 0, max(h_pad - WIN_ROWS, 0))
     ox = jnp.clip(ox, 0, max(w_pad - WINDOW, 0))
 
     # window coordinates: yw = ty - oy, xw = tx - ox
@@ -340,7 +365,7 @@ def warp_background_pallas(mip: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_pad, 3, res, res), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((cams, WINDOW, WINDOW), jnp.int32),
+            pltpu.VMEM((cams, WIN_ROWS, WINDOW), jnp.int32),
             pltpu.SemaphoreType.DMA((cams,)),
             pltpu.VMEM((WINDOW, RES), jnp.int32),
         ],
