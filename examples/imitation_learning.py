@@ -64,6 +64,56 @@ def build_synthetic_batch(batch_size: int, horizon: int, seed: int = 0):
     return road, jnp.asarray(states0, jnp.float32), jnp.asarray(traj)
 
 
+def make_bc_train_step(sim, policy, tx, res: int, teacher_forcing: bool = False):
+    """
+    Build the jitted BC training step: gradients flow through T kinematic
+    steps AND T differentiable BEV renders in one ``jax.lax.scan`` (the
+    reference's BPTT hot loop, `imitation_learning.py:279-347`).
+
+    Returns ``train_step(params, opt_state, state0, expert) ->
+    (params, opt_state, loss)`` where ``expert`` is (T, B, A, 4).
+    """
+    gen = sim.birdview_mesh_generator
+    renderer = sim.renderer
+
+    def render_ego(state):
+        all_state = jnp.concatenate([state.agent_state, state.npc_state], -2)
+        present = jnp.concatenate([state.present_mask, state.npc_present_mask], -1)
+        mesh = gen.generate(1, agent_state=all_state[:, None],
+                            present_mask=present[:, None],
+                            include_background=True)
+        ego = state.agent_state[:, 0]
+        cam_xy = ego[:, :2]
+        cam_sc = jnp.stack([jnp.sin(ego[:, 2]), jnp.cos(ego[:, 2])], -1)
+        return renderer.render_rgb_mesh_chw(
+            mesh, Resolution(res, res),
+            Cameras(cam_xy, cam_sc, renderer.scale))
+
+    def loss_fn(params, state0, expert):
+        # rematerialize each step on the backward pass: live activations for
+        # the whole horizon (render + CNN) can exceed HBM on long rollouts
+        @jax.checkpoint
+        def body(state, target):
+            image = render_ego(state)
+            action = policy.apply(params, image)[:, None, :]  # B x 1 x Ac
+            state = sim.functional_step(state, action)
+            pred = state.agent_state
+            if teacher_forcing:
+                state = state.replace(agent_state=target)
+            return state, pred
+        _, preds = jax.lax.scan(body, state0, expert)
+        return jnp.mean((preds[..., :2] - expert[..., :2]) ** 2)
+
+    @jax.jit
+    def train_step(params, opt_state, state0, expert):
+        loss, grads = jax.value_and_grad(loss_fn)(params, state0, expert)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--synthetic', action='store_true', default=True)
@@ -118,8 +168,6 @@ def main():
                     npc_controller=npc_controller)
     sim.renderer.res = Resolution(args.res, args.res)
     sim.renderer.scale = 2.0 / 35
-    gen = sim.birdview_mesh_generator
-    renderer = sim.renderer
 
     policy = BirdviewCNNPolicy(action_size=4, features=(16, 32))
     params = policy.init(jax.random.PRNGKey(0),
@@ -127,40 +175,8 @@ def main():
     tx = optax.adam(args.lr)
     opt_state = tx.init(params)
 
-    def render_ego(state):
-        all_state = jnp.concatenate([state.agent_state, state.npc_state], -2)
-        present = jnp.concatenate([state.present_mask, state.npc_present_mask], -1)
-        mesh = gen.generate(1, agent_state=all_state[:, None],
-                            present_mask=present[:, None],
-                            include_background=True)
-        ego = state.agent_state[:, 0]
-        cam_xy = ego[:, :2]
-        cam_sc = jnp.stack([jnp.sin(ego[:, 2]), jnp.cos(ego[:, 2])], -1)
-        return renderer.render_rgb_mesh_chw(
-            mesh, Resolution(args.res, args.res),
-            Cameras(cam_xy, cam_sc, renderer.scale))
-
-    def loss_fn(params, state0, expert):
-        # rematerialize each step on the backward pass: live activations for
-        # the whole horizon (render + CNN) can exceed HBM on long rollouts
-        @jax.checkpoint
-        def body(state, target):
-            image = render_ego(state)
-            action = policy.apply(params, image)[:, None, :]  # B x 1 x 4
-            state = sim.functional_step(state, action)
-            pred = state.agent_state
-            if args.teacher_forcing:
-                state = state.replace(agent_state=target)
-            return state, pred
-        _, preds = jax.lax.scan(body, state0, expert)
-        return jnp.mean((preds[..., :2] - expert[..., :2]) ** 2)
-
-    @jax.jit
-    def train_step(params, opt_state, state0, expert):
-        loss, grads = jax.value_and_grad(loss_fn)(params, state0, expert)
-        updates, opt_state = tx.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    train_step = make_bc_train_step(sim, policy, tx, args.res,
+                                    teacher_forcing=args.teacher_forcing)
 
     state0 = sim.state
     for step in range(args.steps):

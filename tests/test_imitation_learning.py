@@ -1,0 +1,66 @@
+"""
+End-to-end proof that the differentiable stack TRAINS: behavior cloning
+through T kinematic steps + T soft BEV renders must drive the loss down
+materially, matching the reference's IL workflow
+(reference `examples/imitation_learning.py:307-347`).
+
+The gradient-parity suites certify per-op correctness; this certifies the
+composition — policy -> render -> dynamics -> loss -> Adam — as a working
+training loop.
+"""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'examples'))
+
+import torchdrivesim_tpu.kinematic as K
+from torchdrivesim_tpu.models import BirdviewCNNPolicy
+from torchdrivesim_tpu.rendering import JaxRendererConfig
+from torchdrivesim_tpu.simulator import Simulator, TorchDriveConfig
+from torchdrivesim_tpu.utils import Resolution
+
+
+def test_bc_training_reduces_loss():
+    from imitation_learning import build_synthetic_batch, make_bc_train_step
+
+    batch, horizon, res, steps = 4, 6, 32, 25
+    road, states0, expert_traj = build_synthetic_batch(batch, horizon)
+
+    kin = K.SimpleKinematicModel(dt=0.1)
+    kin.set_state(states0)
+    cfg = TorchDriveConfig()
+    cfg.renderer = JaxRendererConfig(differentiable=True)  # soft rasterizer
+    sim = Simulator(
+        road_mesh=road, kinematic_model=kin,
+        agent_size=jnp.tile(jnp.asarray([[[4.6, 2.0]]]), (batch, 1, 1)),
+        initial_present_mask=jnp.ones((batch, 1), dtype=bool), cfg=cfg)
+    sim.renderer.res = Resolution(res, res)
+    sim.renderer.scale = 2.0 / 35
+
+    policy = BirdviewCNNPolicy(action_size=4, features=(16, 32))
+    params = policy.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, res, res)))
+    tx = optax.adam(3e-4)
+    opt_state = tx.init(params)
+    train_step = make_bc_train_step(sim, policy, tx, res)
+
+    losses = []
+    state0 = sim.state
+    for _ in range(steps):
+        params, opt_state, loss = train_step(params, opt_state, state0,
+                                             expert_traj)
+        losses.append(float(loss))
+
+    assert np.all(np.isfinite(losses)), losses
+    initial, final = losses[0], float(np.mean(losses[-3:]))
+    # material learning through the full differentiable stack: >= 3x drop
+    assert final < initial / 3.0, (
+        f"BC loss did not learn: {initial:.4f} -> {final:.4f} "
+        f"(trajectory {np.round(losses, 4).tolist()})")
+    # and the improvement must be monotonic-ish, not a lucky last step
+    assert float(np.mean(losses[-5:])) < float(np.mean(losses[:5])), losses
