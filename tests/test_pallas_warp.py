@@ -129,3 +129,82 @@ def test_warp_off_texture_is_background():
     np.testing.assert_allclose(got[0, 0], 0.1, atol=1 / 255.0)
     np.testing.assert_allclose(got[0, 1], 0.2, atol=1 / 255.0)
     np.testing.assert_allclose(got[0, 2], 0.3, atol=1 / 255.0)
+
+
+def _ramp_texture(h=256, w=256, cell=1.0):
+    """Globally LINEAR channels (R = ty/255, G = tx/255, B const): bilinear
+    sampling of these is an exact linear function of the texel coordinates,
+    so the pose gradient has a closed form to certify the diff warp
+    against."""
+    data = np.zeros((h, w, 3), np.float32)
+    data[..., 0] = (np.arange(h) / 255.0)[:, None]
+    data[..., 1] = (np.arange(w) / 255.0)[None, :]
+    data[..., 2] = 77 / 255.0
+    return Grid2D(data=jnp.asarray(data), origin=jnp.asarray([0.0, 0.0]),
+                  cell_size=cell)
+
+
+def test_diff_warp_forward_matches_fast_warp():
+    tex = _checker_texture()
+    mip = pw.build_mip_pyramid(tex)[0]
+    scale = 2.0 / 80.0
+    cam_xy = jnp.asarray([[128.0, 130.0], [100.0, 90.0]])
+    psi = np.deg2rad([30.0, -45.0])
+    cam_sc = jnp.asarray(np.stack([np.sin(psi), np.cos(psi)], -1), jnp.float32)
+    bg = jnp.asarray([0.25, 0.5, 0.75])
+    got = np.asarray(pw.warp_background_diff(mip, cam_xy, cam_sc, scale, bg))
+    want = np.asarray(pw.warp_background_pallas(mip, cam_xy, cam_sc, scale, bg))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize('psi_deg,left_handed', [
+    (0, False), (30, False), (135, False), (100, True),
+])
+def test_diff_warp_pose_gradient_matches_analytic(psi_deg, left_handed):
+    mip = pw.build_mip_pyramid(_ramp_texture())[0]
+    scale = 2.0 / 80.0
+    psi = np.deg2rad(psi_deg)
+    cam_xy = jnp.asarray([[128.0, 130.0]])
+    cam_sc = jnp.asarray([[np.sin(psi), np.cos(psi)]], jnp.float32)
+    bg = jnp.asarray([0.0, 0.0, 0.0])
+    # smooth per-pixel weights so the comparison exercises non-uniform
+    # cotangents, not just the mean gradient
+    r = np.arange(128) / 127.0
+    w_pix = (0.6 + 0.4 * np.sin(np.pi * r)[:, None] * np.cos(
+        np.pi * r)[None, :]).astype(np.float32)
+    w = jnp.asarray(np.stack([w_pix, 0.5 * w_pix, 0.25 * w_pix])[None])
+
+    def loss(cxy, csc):
+        img = pw.warp_background_diff(mip, cxy, csc, scale, bg,
+                                      left_handed=left_handed)
+        return jnp.sum(img * w)
+
+    # exact gradient of the linear-texture loss: sum_p (wR*ty + wG*tx)/255
+    def ref_loss(cxy, csc):
+        ty, tx = pw._sample_positions(mip, cxy, csc, scale,
+                                      left_handed=left_handed)
+        return jnp.sum(w[:, 0] * ty + w[:, 1] * tx) / 255.0
+
+    gxy, gsc = jax.grad(loss, argnums=(0, 1))(cam_xy, cam_sc)
+    rxy, rsc = jax.grad(ref_loss, argnums=(0, 1))(cam_xy, cam_sc)
+    # the estimator differences a nearest-sampled (quantized) image; over
+    # 16k pixels the texel-step noise averages to a few percent
+    np.testing.assert_allclose(np.asarray(gxy), np.asarray(rxy),
+                               rtol=0.05, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gsc), np.asarray(rsc),
+                               rtol=0.05, atol=0.15)
+
+
+def test_diff_warp_off_texture_gradient_is_zero():
+    mip = pw.build_mip_pyramid(_checker_texture())[0]
+    scale = 2.0 / 80.0
+    cam_xy = jnp.asarray([[5000.0, 5000.0]])  # fully off the texture
+    cam_sc = jnp.asarray([[0.0, 1.0]])
+    bg = jnp.asarray([0.25, 0.5, 0.75])
+
+    def loss(cxy, csc):
+        return jnp.sum(pw.warp_background_diff(mip, cxy, csc, scale, bg))
+
+    gxy, gsc = jax.grad(loss, argnums=(0, 1))(cam_xy, cam_sc)
+    np.testing.assert_array_equal(np.asarray(gxy), 0.0)
+    np.testing.assert_array_equal(np.asarray(gsc), 0.0)

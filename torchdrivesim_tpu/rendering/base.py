@@ -100,6 +100,13 @@ class JaxRendererConfig(RendererConfig):
         # MXU rasterizer (ops/pallas_rasterize.py) and, at res=128 with a
         # baked texture, the two-pass affine background warp
         # (ops/pallas_warp.py) that replaces XLA's scalar-loop gathers
+    diff_fast_background: bool = True  #: differentiable mode: render the
+        # baked background with the nearest-mip Pallas warp under a custom
+        # VJP (image-space finite-difference pose gradients,
+        # ops/pallas_warp.warp_background_diff) instead of the per-pixel
+        # bilinear gather -- the gather is the TPU's slowest primitive and
+        # dominated the IL train step. Disable for full-res bilinear
+        # backgrounds with exact bilinear pose gradients.
     band_budget: int = 56             #: typed-prim path: per-camera prim cap
         # PER TYPE (quads / triangles). Prims sort row-major (visible first),
         # each 32-row pixel band skips 8-prim chunks that cannot touch it,

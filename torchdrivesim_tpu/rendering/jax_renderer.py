@@ -268,11 +268,25 @@ class JaxRenderer(BirdviewRenderer):
         fast_sampling = (texture is not None and not self.cfg.differentiable
                          and self._packed_texture is not None
                          and background_texture is None)
+        # differentiable mode: the warp kernel with the finite-difference
+        # pose VJP replaces the per-pixel bilinear gather (the gather is
+        # the dominant IL training cost -- see warp_background_diff)
+        diff_fast = (texture is not None and self.cfg.differentiable
+                     and self.cfg.use_pallas and _on_tpu()
+                     and self.cfg.diff_fast_background
+                     and background_texture is None)
 
         # background, in the layout the chosen rasterizer wants
         mip = self._warp_mip(scale, size) \
-            if fast_sampling and use_pallas else None
-        if mip is not None:
+            if (fast_sampling and use_pallas) or diff_fast else None
+        if mip is not None and diff_fast:
+            from torchdrivesim_tpu.ops.pallas_warp import warp_background_diff
+            background = warp_background_diff(
+                mip, cam_xy, cam_sc, scale, bg_color,
+                left_handed=self.cfg.left_handed_coordinates, res=size)
+            # the soft rasterizers take channels-last backgrounds
+            background = jnp.transpose(background, (0, 2, 3, 1))
+        elif mip is not None:
             from torchdrivesim_tpu.ops.pallas_warp import warp_background_pallas
             background = warp_background_pallas(
                 mip, cam_xy, cam_sc, scale, bg_color,
