@@ -46,7 +46,7 @@ CAMS_PER_PROGRAM = 4
 
 def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
                   tcoef_ref, tpk_ref, tex_ref, out_ref, win_ref, sem,
-                  best_ref, tmp_ref, *, res, qp, tp, chunk, n_bands, cams,
+                  best_ref, tmp_ref, out_tmp_ref, *, res, qp, tp, chunk, n_bands, cams,
                   packed_out=False):
     """``cams`` cameras per program: banded prim winners (flat tiles,
     chunk-masked via ``@pl.when`` as in ``_raster_kernel_prims_masked``),
@@ -67,7 +67,7 @@ def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
         # broadcast-FMA structure, one extra leading chunk dim
         _fused_cameras_2d(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref,
                           qpk_ref, tcoef_ref, tpk_ref, out_ref, win_ref,
-                          best_ref, tmp_ref, dmas, res=res, qp=qp, tp=tp,
+                          best_ref, tmp_ref, out_tmp_ref, dmas, res=res, qp=qp, tp=tp,
                           chunk=chunk, n_bands=n_bands, cams=cams,
                           packed_out=packed_out)
         return
@@ -112,7 +112,8 @@ def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
 
         # warp the texture window (DMA waited inside, after the index math)
         bg2d = warp_view_packed(fcoef_ref, icoef_ref, c, win_ref.at[c],
-                                dmas[c], tmp_ref=tmp_ref)
+                                dmas[c], tmp_ref=tmp_ref,
+                                out_tmp_ref=out_tmp_ref)
 
         # composite per band in the 2D layout; prim pack is rank<<24 |
         # R<<16 | G<<8 | B, background pack is 0x00BBGGRR
@@ -138,7 +139,7 @@ def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
 
 def _fused_cameras_2d(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref,
                       qpk_ref, tcoef_ref, tpk_ref, out_ref, win_ref,
-                      best_ref, tmp_ref, dmas, *, res, qp, tp, chunk,
+                      best_ref, tmp_ref, out_tmp_ref, dmas, *, res, qp, tp, chunk,
                       n_bands, cams, packed_out=False):
     """Per-camera winner resolution + composite for res < 128 outputs.
 
@@ -200,7 +201,8 @@ def _fused_cameras_2d(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref,
                     best_ref[lo:hi, :] = acc
 
         bg2d = warp_view_packed(fcoef_ref, icoef_ref, c, win_ref.at[c],
-                                dmas[c], tmp_ref=tmp_ref)[:res, :res]
+                                dmas[c], tmp_ref=tmp_ref,
+                                out_tmp_ref=out_tmp_ref)[:res, :res]
         best = best_ref[:, :]
         covered = best < (127 << 24)             # valid ranks <= 126
         if packed_out:
@@ -235,7 +237,7 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
     contracts (prims row-major sorted with per-band chunk occupancy masks).
 
     Args:
-        mip: packed int32 texture level (``mip.cell_size >= fov * 1.45/128``).
+        mip: packed int32 texture level (``mip.cell_size >= fov * MIP_FACTOR / 128``).
         cam_xy: (B, 2); cam_sc: (B, 2) (sin, cos); scale: 2 / fov.
         background_color: (3,) in [0, 1] for off-map pixels.
         quads / tris: (B, Q, 4, 2) / (B, T, 3, 2) SCREEN-space corners.
@@ -317,6 +319,7 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
             pltpu.VMEM((n_bands, PIXELS_PER_TILE), jnp.int32) if res == RES
             else pltpu.VMEM((res, res), jnp.int32),
             pltpu.VMEM((WINDOW, RES), jnp.int32),
+            pltpu.VMEM((RES, RES), jnp.int32),
         ],
     )(fcoef, icoef, qmask, tmask, qcoef, qpk, tcoef, tpk, mip.data[..., 0])
     if b_pad != b:

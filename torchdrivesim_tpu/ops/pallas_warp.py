@@ -8,12 +8,14 @@ exploits the structure of the problem: an orthographic camera view is an
 AFFINE warp of the texture, and affine warps decompose into two axis-aligned
 resampling passes (Catmull-Smith two-pass warping):
 
-1. a 144x256 window of the right mip level around each camera is DMA'd
+1. a 128x256 window of the right mip level around each camera is DMA'd
    HBM -> VMEM (row origin 8-aligned and camera-tight, lane origin
    128-aligned -- see WIN_ROWS / WINDOW);
 2. pass 1 resamples rows with ``tpu.dynamic_gather`` along lanes -- the one
    vectorized gather Mosaic supports, applied per 128-lane slab;
-3. pass 2 transposes and lane-gathers again.
+3. pass 2 transposes and lane-gathers again; with only 128 window rows the
+   standard branch's pass-2 table is a single 128-lane vreg slab, so this
+   pass is ONE dynamic_gather (no slab select).
 
 Rotations near +-90 deg make the first pass ill-conditioned (the classic
 bottleneck problem); those cameras use the transposed window, selected per
@@ -23,7 +25,8 @@ a cheap in-VMEM op).
 The texture is packed RGB8-in-uint32, so each pass moves ONE 32-bit value
 per pixel; colors unpack after the final gather. Nearest-neighbor filtering
 (within one texel of the exact sample); mip cell size must satisfy
-``cell >= fov * 1.45 / 128`` so a 128-texel square covers the rotated view.
+``cell >= fov * 1.55 / 128`` so a 128-texel square covers the rotated view
+even after the 8-aligned row-origin rounding.
 """
 import functools
 from typing import Tuple
@@ -42,12 +45,18 @@ WINDOW = 256     #: texture window LANE count (origins align to 128 lanes, so
                  #: needs 128 + 128 lanes)
 #: texture window ROW count. Rows only need 8-sublane alignment (the DMA is
 #: tile-granular at (8, 128)), so the row origin tracks the camera tightly:
-#: the ``select_mip`` contract bounds the rotated view's half-extent at
-#: ``0.7071 * 1.45**-1 * res <= 62.5`` texels, plus nearest-rounding and the
-#: +-4 texel origin-rounding slack, 144 rows always cover it. The row-tight
-#: window nearly halves the pass-1 gather work and the window DMA traffic
-#: vs a square 256-row window.
-WIN_ROWS = 144
+#: the ``select_mip`` contract (MIP_FACTOR) bounds the rotated view's
+#: half-extent at ``0.7071 / 1.55 * res <= 58.4`` texels; with nearest
+#: rounding (+-0.5) and the +-4 texel 8-aligned origin rounding, 128 rows
+#: always cover it (camera-to-origin distance lands in [59.5, 67.5], and
+#: coverage needs [58.9, 68.1]). A 128-row window halves the DMA traffic of
+#: the original square window AND makes every gather whose table is the
+#: window's ROW axis a single 128-lane vreg slab.
+WIN_ROWS = 128
+#: mip-selection safety factor: the chosen level's cell must be at least
+#: ``fov * MIP_FACTOR / res`` so the rotated view (diagonal 0.7071 * res
+#: texels at 45 deg) plus all rounding slack fits the 128-row window.
+MIP_FACTOR = 1.55
 
 
 def build_mip_pyramid(texture: Grid2D, max_levels: int = 6):
@@ -87,7 +96,7 @@ def build_mip_pyramid(texture: Grid2D, max_levels: int = 6):
 
 def select_mip(levels, fov: float, res: int = RES):
     """Finest level whose ``res``-texel square covers the rotated view."""
-    needed = fov * 1.45 / res
+    needed = fov * MIP_FACTOR / res
     for level in levels:
         if level.cell_size >= needed:
             return level
@@ -122,21 +131,22 @@ def _gather_lanes(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 CAMS_PER_PROGRAM = 4
 
 
-def warp_view_packed(fcoef_ref, icoef_ref, c, window_ref, dma, tmp_ref):
+def warp_view_packed(fcoef_ref, icoef_ref, c, window_ref, dma, tmp_ref,
+                     out_tmp_ref):
     """
     In-kernel two-pass warp of one camera's loaded ``(WIN_ROWS, WINDOW)``
     int32 texture window into its packed ``(RES, RES)`` RGB8 view
     (0x00BBGGRR); off-texture pixels get the packed background color. Shared
     by the standalone warp kernel and the fused warp+rasterize kernel.
 
-    The standard branch resamples lanes first (pass-1 table = the window,
-    one gather row per WINDOW ROW -- the row-tight window is what keeps this
-    pass cheap); the ill-conditioned-rotation branch (``flip``, rotations
-    near +-90 deg) transposes the window under ``@pl.when`` so only one
-    branch executes, gathering along the window's ROW axis instead. Both
-    write pass-1 results into ``tmp_ref``; rows the standard branch leaves
-    untouched are only ever addressed by out-of-texture pixels, which the
-    validity mask replaces with the background color.
+    The standard branch resamples lanes first (pass-1 table = the window's
+    256 lanes, one gather row per WINDOW ROW), then pass-2 gathers from the
+    transposed pass-1 result -- a 128-wide table, i.e. ONE dynamic_gather
+    slab. The ill-conditioned-rotation branch (``flip``, rotations near
+    +-90 deg) transposes the window under ``@pl.when`` so only one branch
+    executes: its pass-1 table is the window's 128 ROWS (single slab), its
+    pass-2 the 256-row pass-1 output (two slabs). Both branches finish
+    pass 2 locally into ``out_tmp_ref`` because their table widths differ.
 
     Args:
         fcoef_ref / icoef_ref: SMEM coefficient refs (see
@@ -147,6 +157,7 @@ def warp_view_packed(fcoef_ref, icoef_ref, c, window_ref, dma, tmp_ref):
             index math, so the copy overlaps compute.
         tmp_ref: (WINDOW, RES) int32 pass-1 scratch (sized for the flip
             branch; the standard branch uses its first WIN_ROWS rows).
+        out_tmp_ref: (RES, RES) int32 pass-2 scratch, written TRANSPOSED.
     """
     rows = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 0).astype(jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 1).astype(jnp.float32)
@@ -170,7 +181,6 @@ def warp_view_packed(fcoef_ref, icoef_ref, c, window_ref, dma, tmp_ref):
     # pass-2 indices on the TRANSPOSED output grid (dim0 = c, dim1 = r):
     # v(r, c) with r = cols iota, c = rows iota
     v_idx_t = jnp.floor(va * cols + vb * rows + vc + 0.5).astype(jnp.int32)
-    v_idx_t = jnp.clip(v_idx_t, 0, WINDOW - 1)
     # validity in TEXTURE coordinates, evaluated at output (r, c)
     ty = ty_a * rows + ty_b * cols + ty_c
     tx = tx_a * rows + tx_b * cols + tx_c
@@ -181,18 +191,23 @@ def warp_view_packed(fcoef_ref, icoef_ref, c, window_ref, dma, tmp_ref):
 
     @pl.when(flip == 1)
     def _():
-        # pass-1 rows = window LANES; h indexes window ROWS (width WIN_ROWS)
+        # pass-1 rows = window LANES; h indexes window ROWS (one slab)
         tmp_ref[:, :] = _gather_lanes(window_ref[:, :].T,
                                       h_idx_on((WINDOW, RES), WIN_ROWS))
+        # pass-2 table = all WINDOW pass-1 rows (two slabs)
+        out_tmp_ref[:, :] = _gather_lanes(
+            tmp_ref[:, :].T, jnp.clip(v_idx_t, 0, WINDOW - 1))
 
     @pl.when(flip != 1)
     def _():
-        # pass-1 rows = window ROWS; h indexes window LANES (width WINDOW)
+        # pass-1 rows = window ROWS; h indexes window LANES (two slabs)
         tmp_ref[0:WIN_ROWS, :] = _gather_lanes(
             window_ref[:, :], h_idx_on((WIN_ROWS, RES), WINDOW))
+        # pass-2 table = the WIN_ROWS = 128 pass-1 rows: ONE gather slab
+        out_tmp_ref[:, :] = _gather_lanes(
+            tmp_ref[0:WIN_ROWS, :].T, jnp.clip(v_idx_t, 0, WIN_ROWS - 1))
 
-    out_t = _gather_lanes(tmp_ref[:, :].T, v_idx_t)  # (128, 128), transposed
-    packed = out_t.T
+    packed = out_tmp_ref[:, :].T
     return jnp.where(valid, packed, bg_packed)
 
 
@@ -208,14 +223,15 @@ def start_window_dma(icoef_ref, c, tex_ref, win_ref, sem):
 
 
 def _warp_kernel(fcoef_ref, icoef_ref, tex_ref, out_ref, win_ref, sem,
-                 tmp_ref, *, cams, res=RES):
+                 tmp_ref, out_tmp_ref, *, cams, res=RES):
     # start ALL window DMAs up front so the copies overlap camera compute
     dmas = [start_window_dma(icoef_ref, c, tex_ref, win_ref.at[c], sem.at[c])
             for c in range(cams)]
 
     for c in range(cams):
         packed = warp_view_packed(fcoef_ref, icoef_ref, c, win_ref.at[c],
-                                  dmas[c], tmp_ref=tmp_ref)
+                                  dmas[c], tmp_ref=tmp_ref,
+                                  out_tmp_ref=out_tmp_ref)
         if res != RES:
             # the warp always computes a full 128-lane view; smaller outputs
             # take the top-left block (coefficients map pixels < res)
@@ -265,12 +281,14 @@ def warp_coefficients(mip: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray,
 
     # window origins: lanes align to 128 (so covering a view that may
     # straddle an alignment boundary needs the full 256-lane window), rows
-    # only to the 8-row sublane tile -- the row origin tracks the camera to
-    # within +-4 texels, so WIN_ROWS rows always cover the <= 63.5-texel
-    # view half-extent guaranteed by the select_mip contract
+    # only to the 8-row sublane tile. Centering the rounding at
+    # (WIN_ROWS - 1) / 2 puts the camera 59.5..67.5 texels from the origin;
+    # the MIP_FACTOR contract bounds the view half-extent (with nearest
+    # rounding) at 58.9 texels, so [59.5, 67.5] sits inside the coverage
+    # interval [58.9, WIN_ROWS - 1 - 58.9] = [58.9, 68.1]
     cy = (cam_xy[:, 1] - origin[1]) / cell
     cx = (cam_xy[:, 0] - origin[0]) / cell
-    oy = 8 * jnp.round((cy - WIN_ROWS / 2.0) / 8.0).astype(jnp.int32)
+    oy = 8 * jnp.round((cy - (WIN_ROWS - 1) / 2.0) / 8.0).astype(jnp.int32)
     ox = 128 * jnp.round((cx - 128.0) / 128.0).astype(jnp.int32)
     oy = jnp.clip(oy, 0, max(h_pad - WIN_ROWS, 0))
     ox = jnp.clip(ox, 0, max(w_pad - WINDOW, 0))
@@ -332,7 +350,7 @@ def warp_background_pallas(mip: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray
 
     Args:
         mip: packed int32 texture level (see :func:`build_mip_pyramid`);
-            ``mip.cell_size`` must be >= fov * 1.45 / res.
+            ``mip.cell_size`` must be >= fov * MIP_FACTOR / res.
         cam_xy: (B, 2); cam_sc: (B, 2) (sin, cos); scale: 2 / fov.
         background_color: (3,) in [0, 1] for off-map pixels.
         res: output resolution, <= 128 (the kernel computes a full 128-lane
@@ -368,6 +386,7 @@ def warp_background_pallas(mip: Grid2D, cam_xy: jnp.ndarray, cam_sc: jnp.ndarray
             pltpu.VMEM((cams, WIN_ROWS, WINDOW), jnp.int32),
             pltpu.SemaphoreType.DMA((cams,)),
             pltpu.VMEM((WINDOW, RES), jnp.int32),
+            pltpu.VMEM((RES, RES), jnp.int32),
         ],
     )(fcoef, icoef, mip.data[..., 0])
     if b_pad != b:

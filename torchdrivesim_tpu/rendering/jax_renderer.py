@@ -224,10 +224,10 @@ class JaxRenderer(BirdviewRenderer):
         pyramid = getattr(self, '_mip_pyramid', None)
         if pyramid is None or size > 128 or not supports_res(size):
             return None
-        from torchdrivesim_tpu.ops.pallas_warp import select_mip
+        from torchdrivesim_tpu.ops.pallas_warp import MIP_FACTOR, select_mip
         fov = 2.0 / scale
         mip = select_mip(pyramid, fov=fov, res=size)
-        if mip.cell_size < fov * 1.45 / size:
+        if mip.cell_size < fov * MIP_FACTOR / size:
             return None   # coarsest level still can't cover the rotated view
         return mip
 
@@ -235,8 +235,8 @@ class JaxRenderer(BirdviewRenderer):
         """Mip + sub-view size for the 2x2 sub-camera decomposition serving
         resolutions above 128: each quadrant of the image is an independent
         (size/2)-pixel view at the SAME texels-per-pixel (the mip rule
-        ``cell >= fov*1.45/size`` equals the per-quadrant rule
-        ``cell >= sub_fov*1.45/sub_size``), so the 256-texel-window warp
+        ``cell >= fov*MIP_FACTOR/size`` equals the per-quadrant rule
+        ``cell >= sub_fov*MIP_FACTOR/sub_size``), so the 256-texel-window warp
         machinery serves it unchanged. Returns (mip, sub_size) or None."""
         from torchdrivesim_tpu.ops.pallas_rasterize import supports_res
         pyramid = getattr(self, '_mip_pyramid', None)
@@ -244,10 +244,10 @@ class JaxRenderer(BirdviewRenderer):
         if (pyramid is None or size <= 128 or size % 2 != 0 or sub > 128
                 or not supports_res(sub)):
             return None
-        from torchdrivesim_tpu.ops.pallas_warp import select_mip
+        from torchdrivesim_tpu.ops.pallas_warp import MIP_FACTOR, select_mip
         fov = 2.0 / scale
         mip = select_mip(pyramid, fov=fov, res=size)
-        if mip.cell_size < fov * 1.45 / size:
+        if mip.cell_size < fov * MIP_FACTOR / size:
             return None
         return mip, sub
 
