@@ -35,19 +35,19 @@ def test_reference_renderer_configs_map_to_jax_backend():
 
 
 def test_use_pallas_gate_requires_whole_bands():
-    """Every Pallas raster path tiles into 4096-pixel bands and a 256-texel
-    window: res=32 (res*res=1024) and res=96 must take the XLA fallback
-    instead of crashing in-kernel; res=64/128 may use Pallas."""
+    """The Pallas raster paths tile the image into whole-vreg pixel bands:
+    any multiple of 16 has one (res>128 goes through 2x2 sub-camera tiling),
+    while unaligned sizes must take the XLA fallback instead of crashing
+    in-kernel."""
     from torchdrivesim_tpu.rendering import JaxRendererConfig, jax_renderer
     r = JaxRenderer(JaxRendererConfig())
     orig = jax_renderer._on_tpu
     jax_renderer._on_tpu = lambda: True
     try:
-        assert not r._use_pallas(32)
-        assert not r._use_pallas(96)
-        assert not r._use_pallas(256)
-        assert r._use_pallas(64)
-        assert r._use_pallas(128)
+        for res in (32, 64, 96, 128, 256):
+            assert r._use_pallas(res), res
+        for res in (8, 100, 130):
+            assert not r._use_pallas(res), res
     finally:
         jax_renderer._on_tpu = orig
 
