@@ -144,7 +144,7 @@ def _ramp_texture(h=256, w=256, cell=1.0):
                   cell_size=cell)
 
 
-def test_diff_warp_forward_matches_fast_warp():
+def test_diff_warp_forward_matches_bilinear_warp():
     tex = _checker_texture()
     mip = pw.build_mip_pyramid(tex)[0]
     scale = 2.0 / 80.0
@@ -153,8 +153,54 @@ def test_diff_warp_forward_matches_fast_warp():
     cam_sc = jnp.asarray(np.stack([np.sin(psi), np.cos(psi)], -1), jnp.float32)
     bg = jnp.asarray([0.25, 0.5, 0.75])
     got = np.asarray(pw.warp_background_diff(mip, cam_xy, cam_sc, scale, bg))
-    want = np.asarray(pw.warp_background_pallas(mip, cam_xy, cam_sc, scale, bg))
+    want = np.asarray(pw.warp_background_bilinear(mip, cam_xy, cam_sc,
+                                                  scale, bg))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize('psi_deg,left_handed', [
+    (0, False), (33, False), (90, False), (135, False), (-71, False),
+    (100, True),
+])
+def test_bilinear_warp_exact_on_linear_texture(psi_deg, left_handed):
+    """The two-pass linear filter reproduces LINEAR functions of the texel
+    coordinates exactly (the hat basis reproduces linear functions in each
+    pass, and the pass-1 shear is itself affine), and the ramp texture
+    packs to 8 bits without quantization error -- so the bilinear warp
+    must equal the closed form to f32 accuracy at ANY rotation."""
+    mip = pw.build_mip_pyramid(_ramp_texture())[0]
+    scale = 2.0 / 80.0
+    psi = np.deg2rad(psi_deg)
+    cam_xy = jnp.asarray([[128.0, 130.0]])
+    cam_sc = jnp.asarray([[np.sin(psi), np.cos(psi)]], jnp.float32)
+    bg = jnp.asarray([0.0, 0.0, 0.0])
+    got = np.asarray(pw.warp_background_bilinear(
+        mip, cam_xy, cam_sc, scale, bg, left_handed=left_handed))
+    ty, tx = pw._sample_positions(mip, cam_xy, cam_sc, scale,
+                                  left_handed=left_handed)
+    want = np.stack([np.asarray(ty), np.asarray(tx),
+                     np.full_like(np.asarray(ty), 77.0)], axis=1) / 255.0
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+@pytest.mark.parametrize('psi_deg', [0, 90, 180, -90])
+def test_bilinear_warp_axis_aligned_matches_direct_bilinear(psi_deg):
+    """At axis-aligned rotations the pass-1 shear coefficient vanishes, so
+    the two-pass filter equals direct 2D bilinear sampling -- certified on
+    the hard-edged checker texture (packing quantization only)."""
+    from torchdrivesim_tpu.ops.rasterize import sample_background
+    tex = _checker_texture()
+    mip = pw.build_mip_pyramid(tex)[0]
+    scale = 2.0 / 80.0
+    psi = np.deg2rad(psi_deg)
+    cam_xy = jnp.asarray([[128.0, 130.0]])
+    cam_sc = jnp.asarray([[np.sin(psi), np.cos(psi)]], jnp.float32)
+    bg = jnp.asarray([0.25, 0.5, 0.75])
+    got = np.asarray(pw.warp_background_bilinear(mip, cam_xy, cam_sc,
+                                                 scale, bg))
+    want = np.asarray(jnp.transpose(sample_background(
+        tex, cam_xy, cam_sc, scale, 128, bg), (0, 3, 1, 2)))
+    np.testing.assert_allclose(got, want, atol=2 / 255.0)
 
 
 @pytest.mark.parametrize('psi_deg,left_handed', [
@@ -193,6 +239,88 @@ def test_diff_warp_pose_gradient_matches_analytic(psi_deg, left_handed):
                                rtol=0.05, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gsc), np.asarray(rsc),
                                rtol=0.05, atol=0.15)
+
+
+@pytest.mark.integration
+def test_diff_warp_town02_gradient_fidelity():
+    """Pose-gradient fidelity of the diff-fast background on a REAL map
+    texture (baked Town02) with training-like SMOOTH cotangents: the
+    estimator must track the analytic gradient of its own mip-level
+    bilinear forward almost exactly, and correlate strongly with the exact
+    full-resolution bilinear gradient (full distribution in docs/design.md;
+    measured by tools/diff_bias_check.py -- pooled cos 0.999 / 0.88 over
+    16 poses)."""
+    from torchdrivesim_tpu.benchmark import load_or_bake_texture
+    from torchdrivesim_tpu.map import find_map_config
+    from torchdrivesim_tpu.ops.rasterize import (
+        pack_texture_rgb8_quad, sample_background, sample_background_quad)
+    from torchdrivesim_tpu.rendering.base import (
+        get_default_color_map, get_default_rendering_levels)
+
+    res, fov = 64, 70.0
+    cfg = find_map_config('carla_Town02')
+    texture = load_or_bake_texture(cfg, get_default_color_map(),
+                                   get_default_rendering_levels())
+    quad = pack_texture_rgb8_quad(texture)
+    pyramid = pw.build_mip_pyramid(texture)
+    scale = 2.0 / fov
+    mip = pw.select_mip(pyramid, fov=fov, res=res)
+    packed = np.asarray(mip.data[..., 0])
+    vh, vw = mip.valid_shape or packed.shape
+    mip_float = Grid2D(
+        data=np.stack([(packed >> s) & 255 for s in (0, 8, 16)],
+                      axis=-1)[:vh, :vw].astype(np.float32) / 255.0,
+        origin=np.asarray(mip.origin, np.float32),
+        cell_size=float(mip.cell_size))
+
+    r = np.arange(res) / res
+    w = (np.sin(2 * np.pi * 2 * r)[:, None]
+         * np.cos(2 * np.pi * 1.5 * r)[None, :]
+         + 0.3 * np.sin(2 * np.pi * 3 * r)[None, :])
+    weight = jnp.asarray(np.stack([w, 0.7 * w + 0.3, -0.5 * w])[None],
+                         jnp.float32)
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+
+    def loss_warp(cxy, csc):
+        img = pw.warp_background_diff(mip, cxy, csc, scale, bg, res=res)
+        return jnp.sum(img * weight)
+
+    def loss_exact(cxy, csc):
+        img = sample_background_quad(quad, cxy, csc, scale, res, bg)
+        return jnp.sum(jnp.transpose(img, (0, 3, 1, 2)) * weight)
+
+    def loss_mip(cxy, csc):
+        img = sample_background(mip_float, cxy, csc, scale, res, bg)
+        return jnp.sum(jnp.transpose(img, (0, 3, 1, 2)) * weight)
+
+    g_warp = jax.jit(jax.grad(loss_warp, argnums=(0, 1)))
+    g_exact = jax.jit(jax.grad(loss_exact, argnums=(0, 1)))
+    g_mip = jax.jit(jax.grad(loss_mip, argnums=(0, 1)))
+
+    rng = np.random.RandomState(0)
+    xs = rng.uniform(20, 180, 6)
+    ys = rng.uniform(110, 300, 6)
+    psis = rng.uniform(-np.pi, np.pi, 6)
+    flat = lambda fn, cxy, csc: np.concatenate(
+        [np.asarray(t).ravel() for t in fn(cxy, csc)])
+    gw, ge, gm = [], [], []
+    for i in range(6):
+        cxy = jnp.asarray([[xs[i], ys[i]]], jnp.float32)
+        csc = jnp.asarray([[np.sin(psis[i]), np.cos(psis[i])]], jnp.float32)
+        gw.append(flat(g_warp, cxy, csc))
+        ge.append(flat(g_exact, cxy, csc))
+        gm.append(flat(g_mip, cxy, csc))
+    gw, ge, gm = map(np.concatenate, (gw, ge, gm))
+
+    cos_mip = gw @ gm / (np.linalg.norm(gw) * np.linalg.norm(gm) + 1e-12)
+    cos_exact = gw @ ge / (np.linalg.norm(gw) * np.linalg.norm(ge) + 1e-12)
+    relerr_mip = np.linalg.norm(gw - gm) / (np.linalg.norm(gm) + 1e-12)
+    assert cos_mip > 0.99, f"cos vs mip-bilinear {cos_mip:.4f}"
+    assert relerr_mip < 0.10, f"relerr vs mip-bilinear {relerr_mip:.4f}"
+    # correlation floor only: the mip-blurred objective's gradient is a
+    # box-filtered version of the full-res one (0.88 pooled over 16 poses;
+    # this 6-pose subset measures 0.62)
+    assert cos_exact > 0.55, f"cos vs full-res exact {cos_exact:.4f}"
 
 
 def test_diff_warp_off_texture_gradient_is_zero():

@@ -211,6 +211,154 @@ def warp_view_packed(fcoef_ref, icoef_ref, c, window_ref, dma, tmp_ref,
     return jnp.where(valid, packed, bg_packed)
 
 
+def warp_view_bilinear(fcoef_ref, icoef_ref, c, window_ref, dma, tmp3_ref,
+                       out3_ref):
+    """
+    Two-pass BILINEAR warp of one camera's texture window into three float
+    ``(RES, RES)`` channel planes in [0, 1]; off-texture pixels get the
+    background color. The diff-path forward: linear filtering makes the
+    output piecewise-bilinear in the camera pose, so the image-space
+    central differences that drive ``warp_background_diff``'s VJP measure
+    a real derivative instead of nearest-filter staircase noise (measured
+    on the baked Town02 texture: pose-gradient cosine vs the analytic
+    mip-level bilinear reference rises from 0.81 mean / -0.78 min with the
+    nearest forward to ~1 -- tools/diff_bias_check.py).
+
+    Each pass lerps two axis-aligned ``tpu.dynamic_gather`` taps per
+    channel (the exact Catmull-Smith two-pass linear filter; for an affine
+    warp the composite interpolates the same texel grid with a sheared --
+    still C0, exact-at-texel-centers -- bilinear kernel).
+
+    Args:
+        tmp3_ref: (3, WINDOW, RES) float pass-1 scratch.
+        out3_ref: (3, RES, RES) float pass-2 scratch, written TRANSPOSED.
+    Returns:
+        list of three (RES, RES) float planes (row-major output layout).
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (RES, RES), 1).astype(jnp.float32)
+
+    flip = icoef_ref[c, 0, 2]
+    bg_packed = icoef_ref[c, 0, 3]
+    f = lambda k: fcoef_ref[c, 0, k]
+    va, vb, vc = f(0), f(1), f(2)
+    ha, hb, hc = f(3), f(4), f(5)
+    ty_a, ty_b, ty_c = f(6), f(7), f(8)
+    tx_a, tx_b, tx_c = f(9), f(10), f(11)
+    h_tex, w_tex = f(12), f(13)
+
+    def h_on(shape):
+        rr = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+        cc = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+        return ha * rr + hb * cc + hc
+
+    # pass-2 position on the TRANSPOSED output grid (dim0 = c, dim1 = r)
+    v_t = va * cols + vb * rows + vc
+    ty = ty_a * rows + ty_b * cols + ty_c
+    tx = tx_a * rows + tx_b * cols + tx_c
+    valid = (ty >= 0) & (ty < h_tex) & (tx >= 0) & (tx < w_tex)
+
+    if dma is not None:
+        dma.wait()
+
+    def lerp_gather(table, pos, bound):
+        i0 = jnp.clip(jnp.floor(pos), 0, bound - 2).astype(jnp.int32)
+        fr = jnp.clip(pos - i0.astype(jnp.float32), 0.0, 1.0)
+        g0 = _gather_lanes(table, i0)
+        g1 = _gather_lanes(table, i0 + 1)
+        return g0 + fr * (g1 - g0)
+
+    packed = window_ref[:, :]
+    inv255 = 1.0 / 255.0
+    chans = [(packed & 0xFF).astype(jnp.float32) * inv255,
+             ((packed >> 8) & 0xFF).astype(jnp.float32) * inv255,
+             ((packed >> 16) & 0xFF).astype(jnp.float32) * inv255]
+
+    @pl.when(flip == 1)
+    def _():
+        # pass-1 rows = window LANES; positions index window ROWS (128-wide
+        # tables, one gather slab per tap)
+        h = h_on((WINDOW, RES))
+        for ch in range(3):
+            tmp3_ref[ch] = lerp_gather(chans[ch].T, h, WIN_ROWS)
+        # pass-2 table = all WINDOW pass-1 rows (two slabs per tap)
+        for ch in range(3):
+            out3_ref[ch] = lerp_gather(tmp3_ref[ch].T, v_t, WINDOW)
+
+    @pl.when(flip != 1)
+    def _():
+        # pass-1 rows = window ROWS; positions index window LANES (two
+        # slabs per tap)
+        h = h_on((WIN_ROWS, RES))
+        for ch in range(3):
+            tmp3_ref[ch, 0:WIN_ROWS, :] = lerp_gather(chans[ch], h, WINDOW)
+        # pass-2 table = the WIN_ROWS = 128 pass-1 rows: one slab per tap
+        for ch in range(3):
+            out3_ref[ch] = lerp_gather(tmp3_ref[ch, 0:WIN_ROWS, :].T, v_t,
+                                       WIN_ROWS)
+
+    bgc = [((bg_packed >> s) & 0xFF).astype(jnp.float32) * inv255
+           for s in (0, 8, 16)]
+    return [jnp.where(valid, out3_ref[ch][:, :].T, bgc[ch])
+            for ch in range(3)]
+
+
+def _warp_bilinear_kernel(fcoef_ref, icoef_ref, tex_ref, out_ref, win_ref,
+                          sem, tmp3_ref, out3_ref, *, cams, res=RES):
+    dmas = [start_window_dma(icoef_ref, c, tex_ref, win_ref.at[c], sem.at[c])
+            for c in range(cams)]
+    for c in range(cams):
+        planes = warp_view_bilinear(fcoef_ref, icoef_ref, c, win_ref.at[c],
+                                    dmas[c], tmp3_ref=tmp3_ref,
+                                    out3_ref=out3_ref)
+        for ch in range(3):
+            out_ref[c, ch] = planes[ch][:res, :res] if res != RES \
+                else planes[ch]
+
+
+def warp_background_bilinear(mip: Grid2D, cam_xy: jnp.ndarray,
+                             cam_sc: jnp.ndarray, scale: float,
+                             background_color: jnp.ndarray,
+                             left_handed: bool = False,
+                             res: int = RES) -> jnp.ndarray:
+    """Per-camera background views via the two-pass BILINEAR warp kernel
+    (same contract as :func:`warp_background_pallas`; linear filtering,
+    ~2x the gathers). The forward of the differentiable fast path."""
+    b = cam_xy.shape[0]
+    fcoef, icoef = warp_coefficients(mip, cam_xy, cam_sc, scale,
+                                     background_color, left_handed, res=res)
+    cams = min(CAMS_PER_PROGRAM, b)
+    b_pad = -(-b // cams) * cams
+    if b_pad != b:
+        pad = ((0, b_pad - b), (0, 0), (0, 0))
+        fcoef = jnp.pad(fcoef, pad, mode='edge')
+        icoef = jnp.pad(icoef, pad, mode='edge')
+
+    out = pl.pallas_call(
+        functools.partial(_warp_bilinear_kernel, cams=cams, res=res),
+        grid=(b_pad // cams,),
+        in_specs=[
+            pl.BlockSpec((cams, 1, 14), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((cams, 1, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((cams, 3, res, res), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, 3, res, res), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((cams, WIN_ROWS, WINDOW), jnp.int32),
+            pltpu.SemaphoreType.DMA((cams,)),
+            pltpu.VMEM((3, WINDOW, RES), jnp.float32),
+            pltpu.VMEM((3, RES, RES), jnp.float32),
+        ],
+    )(fcoef, icoef, mip.data[..., 0])
+    if b_pad != b:
+        out = out[:b]
+    return out
+
+
 def start_window_dma(icoef_ref, c, tex_ref, win_ref, sem):
     """Kick off the HBM -> VMEM copy of camera ``c``'s texture window
     (WIN_ROWS sublane-aligned rows x WINDOW lane-aligned lanes)."""
@@ -429,8 +577,8 @@ def warp_background_diff(mip: Grid2D, cam_xy: jnp.ndarray,
                          left_handed: bool = False,
                          res: int = RES) -> jnp.ndarray:
     """
-    Differentiable fast background: the nearest-mip warp kernel forward with
-    a custom VJP for the camera pose.
+    Differentiable fast background: the BILINEAR mip warp kernel forward
+    with a custom VJP for the camera pose.
 
     Why: the IL workload's dominant cost was the full-res bilinear
     background sample (one scattered XLA gather per pixel, the TPU gather
@@ -443,6 +591,16 @@ def warp_background_diff(mip: Grid2D, cam_xy: jnp.ndarray,
     mapped through the inverse affine Jacobian, and chains to
     ``cam_xy``/``cam_sc`` via ``jax.vjp`` of the sampling-position map --
     no kernel, no scatter, and the expensive gather never happens.
+
+    The forward uses LINEAR filtering (:func:`warp_background_bilinear`,
+    unlike the hard path's nearest filter) so the output is piecewise-
+    bilinear in pose and the central differences measure a real local
+    derivative; with a nearest forward they measure staircase noise on
+    piecewise-constant map textures (measured: tools/diff_bias_check.py,
+    stats in docs/design.md). The gradient is that of the MIP-LEVEL image
+    -- the image actually rendered -- i.e. a box-filtered (smoothed)
+    version of the full-res texture gradient; for exact full-resolution
+    bilinear gradients opt out via ``diff_fast_background=False``.
 
     The texture and background color are treated as constants (map assets;
     nothing trains them).
@@ -463,8 +621,8 @@ def warp_background_diff(mip: Grid2D, cam_xy: jnp.ndarray,
     # the bwd runs (UnexpectedTracerError under jax.checkpoint).
     @jax.custom_vjp
     def core(cxy, csc, bg):
-        return warp_background_pallas(mip, cxy, csc, scale, bg,
-                                      left_handed=left_handed, res=res)
+        return warp_background_bilinear(mip, cxy, csc, scale, bg,
+                                        left_handed=left_handed, res=res)
 
     def fwd(cxy, csc, bg):
         out = core(cxy, csc, bg)
