@@ -40,8 +40,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 from torchdrivesim_tpu.ops.rasterize import DEGENERATE_AREA_EPS, _face_arrays
 
-#: max faces the SMEM coefficient tables are sized for (per camera)
+#: faces per kernel call (SMEM coefficient table size per camera); larger
+#: face sets split into groups of this size whose partial accumulators
+#: combine in XLA (see rasterize_softmax_pallas)
 MAX_FACES = 128
+
+#: pixel budget per band tile of the grouped-accumulator kernels (rows of
+#: 128 lanes); matches pallas_rasterize.PIXELS_PER_TILE
+_MAX_BAND_ROWS = 32
+
+
+def _band_rows_flat(res: int) -> int:
+    """Rows (of 128 lanes) per pixel band in the grouped kernels: the
+    largest divisor of the flat row count that fits the band budget."""
+    rows = (res * res) // 128
+    best = 1
+    for d in range(1, min(rows, _MAX_BAND_ROWS) + 1):
+        if rows % d == 0:
+            best = d
+    return best
+
+
+def supports_soft(n_faces: int, res: int) -> bool:
+    """Whether the Pallas soft-raster fast path serves this shape: any face
+    count (grouped into MAX_FACES-face kernel calls) at any resolution whose
+    pixel count tiles into whole 128-lane vector registers."""
+    del n_faces
+    return res >= 8 and (res * res) % 128 == 0
 
 
 def _soft_coefficients(verts, faces, attrs, sigma, gamma):
@@ -223,7 +248,9 @@ def _pallas_soft_fwd(coef, zw, color, background, *, res, cams, interpret):
         out_specs=pl.BlockSpec((cams, 3, rows, 128), cam_idx4,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 3, rows, 128), jnp.float32),
-        interpret=interpret,
+        # interpret=False is omitted (not passed) so tests that monkeypatch
+        # pl.pallas_call with functools.partial(..., interpret=True) work
+        **({'interpret': True} if interpret else {}),
     )(coef, zw, color, background.reshape(b, 3, rows, 128))
     return out.reshape(b, 3, res, res)
 
@@ -264,7 +291,7 @@ def _pallas_soft_bwd(coef, zw, color, background, g, *, res, cams,
             pltpu.VMEM((n_faces, rows, 128), jnp.float32),
             pltpu.VMEM((n_faces, rows, 128), jnp.float32),
         ],
-        interpret=interpret,
+        **({'interpret': True} if interpret else {}),
     )(coef, zw, color, background.reshape(b, 3, rows, 128),
       g.reshape(b, 3, rows, 128))
     sums = jnp.sum(grow, axis=-1)                     # (B, F, 13)
@@ -297,6 +324,212 @@ def _core_bwd(res, cams, interpret, residuals, g):
 _soft_raster_core.defvjp(_core_fwd, _core_bwd)
 
 
+# ----------------------------------------------------------------------------
+# Grouped-accumulator kernels: arbitrary face counts and resolutions
+# ----------------------------------------------------------------------------
+# The softmax blend decomposes over face GROUPS: ``num``/``den`` accumulate
+# additively and transparency multiplicatively, so each MAX_FACES-face group
+# runs as an independent kernel call emitting partial (num, den, transp)
+# images, combined by cheap elementwise XLA whose autodiff routes the right
+# cotangents back into each group's custom VJP. Pixel BANDS (a second grid
+# dimension over flat 128-lane rows) bound VMEM at any resolution; the
+# backward's per-face gradient rows accumulate across bands in the revisited
+# output block (the TPU grid is sequential).
+
+
+def _band_pixel_grids(res, band):
+    """Pixel-center coordinates on the flat (band, 128) tile of pixel band
+    ``pl.program_id(1)``."""
+    base = pl.program_id(1) * band * 128
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (band, 128), 0) * 128
+           + jax.lax.broadcasted_iota(jnp.int32, (band, 128), 1) + base)
+    px = (idx // res).astype(jnp.float32) + 0.5
+    py = (idx % res).astype(jnp.float32) + 0.5
+    return px, py
+
+
+def _accum_fwd_kernel(coef_ref, zw_ref, col_ref, num_ref, den_ref,
+                      transp_ref, *, n_faces, res, band, cams):
+    px, py = _band_pixel_grids(res, band)
+    for c in range(cams):
+        num = [jnp.zeros((band, 128), jnp.float32) for _ in range(3)]
+        den = jnp.zeros((band, 128), jnp.float32)
+        transp = jnp.ones((band, 128), jnp.float32)
+        for f in range(n_faces):
+            _, _, _, _, _, alpha = _accumulate_face(
+                coef_ref, zw_ref, c, f, px, py)
+            w = alpha * zw_ref[c, 0, f]
+            for ch in range(3):
+                num[ch] = num[ch] + w * col_ref[c, f, ch]
+            den = den + w
+            transp = transp * (1.0 - alpha)
+        for ch in range(3):
+            num_ref[c, ch] = num[ch]
+        den_ref[c] = den
+        transp_ref[c] = transp
+
+
+def _accum_bwd_kernel(coef_ref, zw_ref, col_ref, gnum_ref, gden_ref,
+                      gtransp_ref, grow_ref, alpha_ref, prefix_ref,
+                      *, n_faces, res, band, cams):
+    """Recompute-in-VMEM backward of one face group's accumulators.
+
+    grow_ref: (cams, n_faces, 13, 128) per-face gradient rows
+    [gA0 gB0 gC0 ... gA2 gB2 gC2 gzw gcolR gcolG gcolB], ACCUMULATED over
+    pixel bands (the block index ignores the band grid dim); the caller
+    sums over the last axis.
+    """
+    px, py = _band_pixel_grids(res, band)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        grow_ref[...] = jnp.zeros_like(grow_ref)
+
+    for c in range(cams):
+        # pass 1: alphas and coverage prefix products
+        transp = jnp.ones((band, 128), jnp.float32)
+        for f in range(n_faces):
+            _, _, _, _, _, alpha = _accumulate_face(
+                coef_ref, zw_ref, c, f, px, py)
+            alpha_ref[f] = alpha
+            prefix_ref[f] = transp
+            transp = transp * (1.0 - alpha)
+
+        g = [gnum_ref[c, ch] for ch in range(3)]
+        gden = gden_ref[c]
+        gtr = gtransp_ref[c]
+
+        # pass 2: descending-face suffix products; per-face grad rows
+        suffix = jnp.ones((band, 128), jnp.float32)
+        for f in range(n_faces - 1, -1, -1):
+            alpha = alpha_ref[f]
+            except_f = prefix_ref[f] * suffix
+            suffix = suffix * (1.0 - alpha)
+            dl_dw = (g[0] * col_ref[c, f, 0] + g[1] * col_ref[c, f, 1]
+                     + g[2] * col_ref[c, f, 2] + gden)
+            # d transp / d alpha_f = -prod_{f' != f} (1 - alpha_f')
+            dl_dalpha = zw_ref[c, 0, f] * dl_dw - gtr * except_f
+            t, s, big_s, tmin, window, _ = _accumulate_face(
+                coef_ref, zw_ref, c, f, px, py)
+            wmask = ((tmin > -4.0) & (tmin < -3.0)).astype(jnp.float32)
+            sw = dl_dalpha * big_s * wmask
+
+            def put(k, val, c=c, f=f):
+                grow_ref[c, f, k:k + 1, :] = (
+                    grow_ref[c, f, k:k + 1, :]
+                    + jnp.sum(val, axis=0, keepdims=True))
+
+            for e in range(3):
+                gt = dl_dalpha * (alpha * (1.0 - s[e])) \
+                    + sw * (t[e] == tmin).astype(jnp.float32)
+                put(3 * e + 0, gt * px)
+                put(3 * e + 1, gt * py)
+                put(3 * e + 2, gt)
+            put(9, dl_dw * alpha)
+            w = alpha * zw_ref[c, 0, f]
+            for ch in range(3):
+                put(10 + ch, g[ch] * w)
+
+
+def _pallas_accum_fwd(coef, zw, color, *, res, cams, interpret):
+    b, _, n_faces = zw.shape
+    rows = (res * res) // 128
+    band = _band_rows_flat(res)
+    smem4 = lambda shp: pl.BlockSpec(shp, lambda i, j: (i, 0, 0, 0),
+                                     memory_space=pltpu.SMEM)
+    smem3 = lambda shp: pl.BlockSpec(shp, lambda i, j: (i, 0, 0),
+                                     memory_space=pltpu.SMEM)
+    num, den, transp = pl.pallas_call(
+        functools.partial(_accum_fwd_kernel, n_faces=n_faces, res=res,
+                          band=band, cams=cams),
+        grid=(b // cams, rows // band),
+        in_specs=[
+            smem4((cams, n_faces, 3, 3)),
+            smem3((cams, 1, n_faces)),
+            smem3((cams, n_faces, 3)),
+        ],
+        out_specs=[
+            pl.BlockSpec((cams, 3, band, 128), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cams, band, 128), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cams, band, 128), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 3, rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, rows, 128), jnp.float32),
+        ],
+        **({'interpret': True} if interpret else {}),
+    )(coef, zw, color)
+    return num, den, transp
+
+
+def _pallas_accum_bwd(coef, zw, color, gnum, gden, gtransp, *, res, cams,
+                      interpret):
+    b, _, n_faces = zw.shape
+    rows = (res * res) // 128
+    band = _band_rows_flat(res)
+    smem4 = lambda shp: pl.BlockSpec(shp, lambda i, j: (i, 0, 0, 0),
+                                     memory_space=pltpu.SMEM)
+    smem3 = lambda shp: pl.BlockSpec(shp, lambda i, j: (i, 0, 0),
+                                     memory_space=pltpu.SMEM)
+    grow = pl.pallas_call(
+        functools.partial(_accum_bwd_kernel, n_faces=n_faces, res=res,
+                          band=band, cams=cams),
+        grid=(b // cams, rows // band),
+        in_specs=[
+            smem4((cams, n_faces, 3, 3)),
+            smem3((cams, 1, n_faces)),
+            smem3((cams, n_faces, 3)),
+            pl.BlockSpec((cams, 3, band, 128), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cams, band, 128), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cams, band, 128), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # the band grid dim revisits this block: accumulation across bands
+        out_specs=pl.BlockSpec((cams, n_faces, 13, 128),
+                               lambda i, j: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_faces, 13, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n_faces, band, 128), jnp.float32),
+            pltpu.VMEM((n_faces, band, 128), jnp.float32),
+        ],
+        **({'interpret': True} if interpret else {}),
+    )(coef, zw, color, gnum, gden, gtransp)
+    sums = jnp.sum(grow, axis=-1)                     # (B, F, 13)
+    gcoef = sums[..., :9].reshape(b, n_faces, 3, 3)
+    gzw = sums[..., 9][:, None, :]                    # matches zw (B, 1, F)
+    gcolor = sums[..., 10:13]
+    return gcoef, gzw, gcolor
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _soft_accum_core(coef, zw, color, res, cams, interpret):
+    return _pallas_accum_fwd(coef, zw, color, res=res, cams=cams,
+                             interpret=interpret)
+
+
+def _accum_fwd(coef, zw, color, res, cams, interpret):
+    out = _pallas_accum_fwd(coef, zw, color, res=res, cams=cams,
+                            interpret=interpret)
+    return out, (coef, zw, color)
+
+
+def _accum_bwd(res, cams, interpret, residuals, cotangents):
+    coef, zw, color = residuals
+    gnum, gden, gtransp = cotangents
+    return _pallas_accum_bwd(coef, zw, color, gnum, gden, gtransp,
+                             res=res, cams=cams, interpret=interpret)
+
+
+_soft_accum_core.defvjp(_accum_fwd, _accum_bwd)
+
+
 def rasterize_softmax_pallas(verts: jnp.ndarray, faces: jnp.ndarray,
                              attrs: jnp.ndarray, res: int,
                              background: jnp.ndarray, sigma: float = 0.5,
@@ -306,7 +539,11 @@ def rasterize_softmax_pallas(verts: jnp.ndarray, faces: jnp.ndarray,
     Drop-in Pallas equivalent of
     :func:`torchdrivesim_tpu.ops.rasterize.rasterize_softmax` for
     channels-LAST callers; differentiable w.r.t. verts, attrs, and
-    background.
+    background. Serves ANY face count (faces split into MAX_FACES-size
+    kernel groups whose partial accumulators combine in XLA -- matching the
+    reference's any-face-count soft blending,
+    `torchdrivesim/rendering/pytorch3d.py:89-127`) and any resolution with
+    ``res * res % 128 == 0`` (every multiple of 16; pixel bands bound VMEM).
 
     Args:
         verts: (B, V, 3) screen (row, col, priority z); faces: (B, F, 3);
@@ -315,8 +552,7 @@ def rasterize_softmax_pallas(verts: jnp.ndarray, faces: jnp.ndarray,
         (B, res, res, 3) image in [0, 1].
     """
     b, f = faces.shape[0], faces.shape[1]
-    assert f <= MAX_FACES, f"soft kernel sized for <= {MAX_FACES} faces, got {f}"
-    assert res <= 128 and (res * res) % 128 == 0, res
+    assert supports_soft(f, res), (f, res)
     if f == 0:
         return background
     coef, zw, color = _soft_coefficients(verts, faces, attrs, sigma, gamma)
@@ -325,6 +561,38 @@ def rasterize_softmax_pallas(verts: jnp.ndarray, faces: jnp.ndarray,
     cams = min(cams_per_program, b)
     while b % cams:
         cams -= 1
-    bg_chw = jnp.transpose(background, (0, 3, 1, 2))
-    img = _soft_raster_core(coef, zw, color, bg_chw, res, cams, interpret)
-    return jnp.transpose(img, (0, 2, 3, 1))
+    if f <= MAX_FACES and res <= 128:
+        # single-group fast path: composite in-kernel, one kernel pair,
+        # no accumulator images through HBM
+        bg_chw = jnp.transpose(background, (0, 3, 1, 2))
+        img = _soft_raster_core(coef, zw, color, bg_chw, res, cams, interpret)
+        return jnp.transpose(img, (0, 2, 3, 1))
+
+    # grouped path: pad to whole MAX_FACES groups (padding uses the same
+    # degenerate-face sentinel C = -1e9, so alpha == 0 exactly)
+    pad = (-f) % MAX_FACES
+    if pad:
+        pcoef = jnp.zeros((b, pad, 3, 3), coef.dtype).at[..., 2].set(-1e9)
+        coef = jnp.concatenate([coef, pcoef], axis=1)
+        zw = jnp.concatenate([zw, jnp.zeros((b, 1, pad), zw.dtype)], axis=2)
+        color = jnp.concatenate([color, jnp.zeros((b, pad, 3), color.dtype)],
+                                axis=1)
+    n_groups = coef.shape[1] // MAX_FACES
+    rows = (res * res) // 128
+    num = jnp.zeros((b, 3, rows, 128), jnp.float32)
+    den = jnp.zeros((b, rows, 128), jnp.float32)
+    transp = jnp.ones((b, rows, 128), jnp.float32)
+    for g in range(n_groups):
+        lo, hi = g * MAX_FACES, (g + 1) * MAX_FACES
+        ng, dg, tg = _soft_accum_core(coef[:, lo:hi], zw[:, :, lo:hi],
+                                      color[:, lo:hi], res, cams, interpret)
+        num = num + ng
+        den = den + dg
+        transp = transp * tg
+    # composite (plain differentiable XLA, elementwise): same semantics as
+    # the in-kernel epilogue and ops/rasterize.rasterize_softmax
+    c_faces = num / jnp.maximum(den[:, None], 1e-8)
+    cover = (1.0 - transp)[:, None]
+    bg_chw = jnp.transpose(background, (0, 3, 1, 2)).reshape(b, 3, rows, 128)
+    img = cover * c_faces + (1.0 - cover) * bg_chw
+    return jnp.transpose(img.reshape(b, 3, res, res), (0, 2, 3, 1))
