@@ -52,16 +52,17 @@ def _force_all_pallas_interpret(monkeypatch):
     import functools
     import torchdrivesim_tpu.ops.pallas_fused as F
     import torchdrivesim_tpu.ops.pallas_rasterize as R
+    import torchdrivesim_tpu.ops.pallas_soft as S
     import torchdrivesim_tpu.ops.pallas_warp as W
     import torchdrivesim_tpu.rendering.jax_renderer as jr
     monkeypatch.setattr(jr, '_on_tpu', lambda: True)
-    for mod in (W, R, F):
+    for mod in (W, R, F, S):
         original = mod.pl.pallas_call
         monkeypatch.setattr(mod.pl, 'pallas_call',
                             functools.partial(original, interpret=True))
 
 
-def _prims_rollout(sim, res=64, steps=3, fov=40.0):
+def _prims_rollout(sim, res=64, steps=3, fov=40.0, packed=False):
     """A jitted rollout through the PRODUCTION fast render path:
     functional_step -> generate_prims -> row-major sort -> banded/fused
     Pallas kernels (the same chain the benchmark step uses)."""
@@ -85,7 +86,7 @@ def _prims_rollout(sim, res=64, steps=3, fov=40.0):
                 all_state, present_mask=present, traffic_light_state=lights)
             img = renderer.render_prims_chw(
                 quads, qz, qcol, tris, tz, tcol, Resolution(res, res),
-                Cameras(cam_xy, cam_sc, 2.0 / fov))
+                Cameras(cam_xy, cam_sc, 2.0 / fov), packed=packed)
             return s, img
         return jax.lax.scan(body, state, None, length=steps)
     return rollout
@@ -131,6 +132,147 @@ def test_sharded_pallas_render_matches_unsharded(monkeypatch, textured):
     np.testing.assert_allclose(np.asarray(final_shard.agent_state),
                                np.asarray(final_plain.agent_state),
                                atol=1e-6)
+
+
+@pytest.mark.integration
+@pytest.mark.parametrize('variant', ['tiled_192', 'packed_rgb8'])
+def test_sharded_fast_path_variants_match_unsharded(monkeypatch, variant):
+    """The remaining fast-path variants under the mesh (VERDICT r3
+    directive 7): the n x n sub-camera tiling at res > 128 (its
+    reshape/stitch logic is where a sharding-induced layout bug would
+    hide) and the packed-RGB8 output."""
+    from tests.test_simulator import _build_simulator
+    from torchdrivesim_tpu.ops.grids import Grid2D
+    from torchdrivesim_tpu.parallel import shard_simulator
+
+    _force_all_pallas_interpret(monkeypatch)
+    sim = _build_simulator(with_npcs=True)
+    sim = sim.extend(4, in_place=False)
+    rng = np.random.RandomState(0)
+    sim.renderer.background_texture = Grid2D(
+        data=np.asarray(rng.rand(256, 256, 3), np.float32),
+        origin=np.asarray([-40.0, -40.0], np.float32), cell_size=0.75)
+    res = 192 if variant == 'tiled_192' else 64
+    packed = variant == 'packed_rgb8'
+    if variant == 'tiled_192':
+        assert sim.renderer._tiled_mip(2.0 / 40.0, res) is not None
+    rollout = _prims_rollout(sim, res=res, steps=2, packed=packed)
+
+    _, imgs_plain = jax.jit(rollout)(sim.state)
+    imgs_plain = np.asarray(imgs_plain)
+    assert np.abs(imgs_plain).max() > 0
+
+    mesh = make_mesh(8)
+    sim = shard_simulator(sim, mesh)
+    _, imgs_shard = jax.jit(rollout)(sim.state)
+    assert len(imgs_shard.sharding.device_set) == 8
+    if packed:
+        assert imgs_shard.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(imgs_shard), imgs_plain)
+
+
+@pytest.mark.integration
+def test_nondivisible_render_batch_replicates_with_warning(monkeypatch,
+                                                           caplog):
+    """A render batch not divisible by the mesh warns once and runs
+    replicated (documented behavior, `jax_renderer._shard_wrap`) -- output
+    must still be correct."""
+    import logging
+    from tests.test_simulator import _build_simulator
+
+    _force_all_pallas_interpret(monkeypatch)
+    import torchdrivesim_tpu.rendering.jax_renderer as jr
+    jr._warned_shard_batch.clear()
+    sim = _build_simulator(with_npcs=True)
+    sim = sim.extend(3, in_place=False)   # batch 6: not divisible by 8
+    assert sim.batch_size == 6
+    rollout = _prims_rollout(sim, steps=1)
+    _, imgs_plain = jax.jit(rollout)(sim.state)
+
+    sim.renderer.shard_mesh = make_mesh(8)  # bypass shard_simulator's check
+    # fresh closure: jit caches by function identity + input shardings, and
+    # the inputs here are unchanged, so re-jitting `rollout` would silently
+    # reuse the pre-mesh trace
+    rollout2 = _prims_rollout(sim, steps=1)
+    with caplog.at_level(logging.WARNING,
+                         logger='torchdrivesim_tpu.rendering.jax_renderer'):
+        _, imgs_repl = jax.jit(rollout2)(sim.state)
+    assert any('not divisible' in m for m in caplog.messages)
+    np.testing.assert_array_equal(np.asarray(imgs_repl),
+                                  np.asarray(imgs_plain))
+
+
+@pytest.mark.integration
+def test_sharded_diff_render_gradients_match_unsharded(monkeypatch):
+    """The DIFFERENTIABLE production render path (soft custom-VJP Pallas
+    kernel + diff-fast warp background) must partition under the mesh and
+    produce the same loss AND gradients as unsharded execution -- the
+    composition jax.grad(shard_map(custom_vjp)) is exactly the one a
+    distributed IL training run exercises (VERDICT r3 directive 1)."""
+    from tests.test_simulator import _build_simulator
+    from torchdrivesim_tpu.ops.grids import Grid2D
+    from torchdrivesim_tpu.parallel import shard_simulator
+    from torchdrivesim_tpu.rendering.base import Cameras
+    from torchdrivesim_tpu.utils import Resolution
+
+    _force_all_pallas_interpret(monkeypatch)
+    sim = _build_simulator(with_npcs=True)
+    sim = sim.extend(4, in_place=False)   # batch 8 = device count
+    assert sim.batch_size == 8
+    res = 64
+    sim.renderer.cfg.differentiable = True
+    sim.renderer.cfg.soft_blend = 'softmax'
+    rng = np.random.RandomState(0)
+    sim.renderer.background_texture = Grid2D(
+        data=np.asarray(rng.rand(256, 256, 3), np.float32),
+        origin=np.asarray([-40.0, -40.0], np.float32), cell_size=0.75)
+    assert sim.renderer.cfg.diff_fast_background
+
+    gen = sim.birdview_mesh_generator
+    renderer = sim.renderer
+    b, a = sim.batch_size, sim.agent_count
+
+    def loss_fn(agent_state, state):
+        state = state.replace(agent_state=agent_state)
+
+        def body(s, _):
+            all_state = jnp.concatenate([s.agent_state, s.npc_state], -2)
+            present = jnp.concatenate(
+                [s.present_mask, s.npc_present_mask], -1)
+            mesh = gen.generate(1, all_state[:, None], present[:, None],
+                                include_background=False)
+            ego = s.agent_state[:, 0]
+            cam_xy = ego[:, :2]
+            cam_sc = jnp.stack([jnp.sin(ego[:, 2]), jnp.cos(ego[:, 2])], -1)
+            img = renderer.render_rgb_mesh_chw(
+                mesh, Resolution(res, res), Cameras(cam_xy, cam_sc, 2.0 / 40))
+            # a non-uniform image reduction so pose gradients are non-trivial
+            ramp = jnp.arange(res, dtype=jnp.float32) / res
+            act = jnp.mean(img * ramp[None, None, None, :], axis=(1, 2, 3))
+            action = jnp.zeros((b, a, 2)).at[:, 0, 0].set(act * 1e-3)
+            s = sim.functional_step(s, action)
+            return s, jnp.sum(act)
+        final, accs = jax.lax.scan(body, state, None, length=3)
+        return jnp.sum(accs) + jnp.sum(final.agent_state[:, :, :2] ** 2) * 1e-3
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    loss_plain, grad_plain = grad_fn(sim.state.agent_state, sim.state)
+    loss_plain = float(loss_plain)
+    grad_plain = np.asarray(grad_plain)
+    assert np.isfinite(loss_plain)
+    assert np.abs(grad_plain).max() > 0, "zero gradient: diff path inert"
+
+    mesh_dev = make_mesh(8)
+    sim = shard_simulator(sim, mesh_dev)
+    assert sim.renderer.shard_mesh is mesh_dev
+    loss_shard, grad_shard = grad_fn(sim.state.agent_state, sim.state)
+    # the gradient carries the batch sharding (partitioned, not replicated)
+    assert len(grad_shard.sharding.device_set) == 8
+    np.testing.assert_allclose(float(loss_shard), loss_plain,
+                               rtol=1e-6, atol=1e-6)
+    # f32 reduction-order noise only (sharding changes op scheduling)
+    np.testing.assert_allclose(np.asarray(grad_shard), grad_plain,
+                               rtol=3e-4, atol=2e-6)
 
 
 def test_shard_batched_tree_placement():

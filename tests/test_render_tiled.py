@@ -71,13 +71,14 @@ def _texture():
 
 #: per-size fov keeping the warp on the texture's FINEST mip level (the XLA
 #: reference always samples the full-res texture): fov <= 0.5 * size / 1.45
-_FOV = {192: 60.0, 256: 80.0}
+_FOV = {192: 60.0, 256: 80.0, 384: 120.0, 512: 160.0}
 
 
-@pytest.mark.parametrize('size', [192, 256])
+@pytest.mark.parametrize('size', [192, 256, 384, 512])
 def test_tiled_fused_matches_xla(monkeypatch, size):
-    """The 2x2 tiled fused path at res > 128 vs the XLA fallback: same prim
-    content and (nearest-sampled) background, modulo rasterizer edge rules
+    """The n x n tiled fused path at res > 128 (2x2 to 256, 3x3 at 384,
+    4x4 at 512) vs the XLA fallback: same prim content and
+    (nearest-sampled) background, modulo rasterizer edge rules
     and the warp's <= 1-texel nearest displacement."""
     quads, qz, qc, tris, tz, tc, cam_xy, cam_sc = _scene(extent=0.35 * _FOV[size])
     fov = _FOV[size]
@@ -178,16 +179,53 @@ def test_banded_prims_general_res_no_texture(monkeypatch, size):
     assert got.max() > 0
 
 
-def test_unsupported_res_falls_back(monkeypatch):
-    """A resolution without a whole-vreg band tiling (e.g. 100) must take
-    the XLA fallback (and warn), not crash in a kernel."""
-    import torchdrivesim_tpu.rendering.jax_renderer as jr
-    quads, qz, qc, tris, tz, tc, cam_xy, cam_sc = _scene(seed=9)
-    _force_pallas_interpret(monkeypatch)
+@pytest.mark.parametrize('size', [100, 52])
+def test_nonmultiple_res_pads_and_crops(monkeypatch, size):
+    """A resolution without a whole-vreg band tiling (e.g. 100) renders at
+    the next multiple of 16 with a shifted camera and crops -- content must
+    match the XLA fallback at the REQUESTED resolution (every square res
+    takes a fast path, `torchdrivesim/rendering/base.py:167-204`)."""
+    quads, qz, qc, tris, tz, tc, cam_xy, cam_sc = _scene(seed=9, extent=30.0)
+    fov = 100.0
+    cameras = Cameras(cam_xy, cam_sc, 2.0 / fov)
+    args = (quads, qz, qc, tris, tz, tc)
+    res = Resolution(size, size)
+
     renderer = JaxRenderer(JaxRendererConfig(cull_max_faces=0))
-    assert not renderer._use_pallas(100)
-    img = np.asarray(renderer.render_prims_chw(
-        quads, qz, qc, tris, tz, tc, Resolution(100, 100),
-        Cameras(cam_xy, cam_sc, 2.0 / 100.0)))
-    assert img.shape == (2, 3, 100, 100)
-    assert np.isfinite(img).all()
+    renderer.cfg.use_pallas = False
+    want = np.asarray(renderer.render_prims_chw(*args, res, cameras))
+    _force_pallas_interpret(monkeypatch)
+    renderer.cfg.use_pallas = True
+    assert not renderer._use_pallas(size)       # no direct band tiling
+    assert renderer._pad_res_target(size) == -(-size // 16) * 16
+    got = np.asarray(renderer.render_prims_chw(*args, res, cameras))
+
+    assert got.shape == (2, 3, size, size)
+    assert np.isfinite(got).all()
+    # half-pixel world shift: prim edges land sub-pixel differently, so
+    # compare content agreement like the other banded-vs-XLA tests
+    agree = np.isclose(got, want, atol=0.7).all(axis=1).mean()
+    assert agree > 0.98, f"pad-and-crop vs XLA agreement {agree:.4f}"
+    assert got.max() > 0
+
+
+def test_pad_crop_textured_matches_xla(monkeypatch):
+    """Pad-and-crop with a background texture: the camera shift must leave
+    the sampled background in the requested view (a shift-direction bug
+    displaces the whole background by (pad-size)/2 pixels)."""
+    quads, qz, qc, tris, tz, tc, cam_xy, cam_sc = _scene(seed=11, extent=20.0)
+    size, fov = 100, 48.0
+    cameras = Cameras(cam_xy, cam_sc, 2.0 / fov)
+    args = (quads, qz, qc, tris, tz, tc)
+    res = Resolution(size, size)
+
+    renderer = JaxRenderer(JaxRendererConfig(cull_max_faces=0))
+    renderer.cfg.use_pallas = False
+    renderer.background_texture = _texture()
+    want = np.asarray(renderer.render_prims_chw(*args, res, cameras))
+    _force_pallas_interpret(monkeypatch)
+    renderer.cfg.use_pallas = True
+    renderer.background_texture = _texture()
+    got = np.asarray(renderer.render_prims_chw(*args, res, cameras))
+    agree = np.isclose(got, want, atol=6.0).all(axis=1).mean()
+    assert agree > 0.98, f"textured pad-and-crop agreement {agree:.4f}"

@@ -68,55 +68,71 @@ def image_checksum(image: jnp.ndarray) -> jnp.ndarray:
 
 
 def _expand_subcameras(sq, st, qz, qcol, tz, tcol, cam_xy, cam_sc,
-                       size, sub, scale, left_handed):
+                       size, sub, scale, left_handed, n=2):
     """
-    2x2 sub-camera decomposition for resolutions above the 128-px warp
-    window: quadrant (i, j) of a ``size``-px view is itself a ``sub``-px
-    view (``sub = size // 2``) at the SAME pixels-per-meter, centered on
-    the quadrant's world center. Prim screen coordinates shift by the
-    quadrant origin in pixel space; camera centers shift by the rotated
+    n x n sub-camera decomposition for resolutions above the 128-px warp
+    window: tile (i, j) of a ``size``-px view is itself a ``sub``-px
+    view (``sub = size // n``) at the SAME pixels-per-meter, centered on
+    the tile's world center. Prim screen coordinates shift by the
+    tile origin in pixel space; camera centers shift by the rotated
     pixel offset in world space (the exact inverse of the screen transform
     in ``ops.pallas_warp.warp_coefficients``: pixel (r, c) maps to
     ``cam + R(psi) @ (forward, left)`` with ``forward = (size/2 - r)/ppm``,
-    ``left = lh * (size/2 - c)/ppm``), so each quadrant renders the
+    ``left = lh * (size/2 - c)/ppm``), so each tile renders the
     identical scene content.
 
-    Returns the per-sub-view arrays with the quadrant index FASTEST in the
-    leading dim (row-major: (i, j) -> 2i + j), so one 4-camera fused
-    program renders exactly one full image.
+    Returns the per-sub-view arrays with the tile index FASTEST in the
+    leading dim (row-major: (i, j) -> n*i + j), so fused camera programs
+    render whole images.
     """
     bl = qz.shape[0]
+    nt = n * n
     ppm = scale * size / 2.0                 # output pixels per meter
-    offs = np.asarray([[0, 0], [0, sub], [sub, 0], [sub, sub]], np.float32)
+    offs = np.asarray([[i * sub, j * sub] for i in range(n)
+                       for j in range(n)], np.float32)          # (nt, 2)
     sq_sub = (sq[:, None] - offs[None, :, None, None, :]).reshape(
-        (bl * 4,) + sq.shape[1:])
+        (bl * nt,) + sq.shape[1:])
     st_sub = (st[:, None] - offs[None, :, None, None, :]).reshape(
-        (bl * 4,) + st.shape[1:])
-    rep = lambda a: jnp.repeat(a, 4, axis=0)
+        (bl * nt,) + st.shape[1:])
+    rep = lambda a: jnp.repeat(a, nt, axis=0)
     lh = -1.0 if left_handed else 1.0
-    # quadrant center pixel = offs + sub/2; its (forward, left) offset from
+    # tile center pixel = offs + sub/2; its (forward, left) offset from
     # the full-view center (pixel size/2), rotated into world coordinates
-    off_f = (size / 2.0 - offs[:, 0] - sub / 2.0) / ppm          # (4,)
+    off_f = (size / 2.0 - offs[:, 0] - sub / 2.0) / ppm          # (nt,)
     off_l = lh * (size / 2.0 - offs[:, 1] - sub / 2.0) / ppm
     sin, cos = cam_sc[:, 0:1], cam_sc[:, 1:2]                    # (bl, 1)
-    cx = cam_xy[:, 0:1] + cos * off_f[None] - sin * off_l[None]  # (bl, 4)
+    cx = cam_xy[:, 0:1] + cos * off_f[None] - sin * off_l[None]  # (bl, nt)
     cy = cam_xy[:, 1:2] + sin * off_f[None] + cos * off_l[None]
-    cam_xy_sub = jnp.stack([cx, cy], axis=-1).reshape(bl * 4, 2)
+    cam_xy_sub = jnp.stack([cx, cy], axis=-1).reshape(bl * nt, 2)
     return (sq_sub, st_sub, rep(qz), rep(qcol), rep(tz), rep(tcol),
             cam_xy_sub, rep(cam_sc))
 
 
-def _assemble_quadrants(image, size):
-    """Stitch 2x2 quadrant renders (quadrant fastest in the leading dim,
-    row-major) back into full frames; float (B*4, 3, s, s) or packed
-    (B*4, s, s) int32 input."""
-    s = size // 2
-    bl = image.shape[0] // 4
+def _assemble_quadrants(image, size, n=2):
+    """Stitch n x n tile renders (tile fastest in the leading dim,
+    row-major) back into full frames; float (B*n^2, 3, s, s) or packed
+    (B*n^2, s, s) int32 input."""
+    s = size // n
+    bl = image.shape[0] // (n * n)
     if image.ndim == 3:
-        return image.reshape(bl, 2, 2, s, s).transpose(
+        return image.reshape(bl, n, n, s, s).transpose(
             0, 1, 3, 2, 4).reshape(bl, size, size)
-    return image.reshape(bl, 2, 2, 3, s, s).transpose(
+    return image.reshape(bl, n, n, 3, s, s).transpose(
         0, 3, 1, 4, 2, 5).reshape(bl, 3, size, size)
+
+
+def _pad_camera_shift(cam_xy, cam_sc, size, size_pad, ppm, left_handed):
+    """Camera centers for the pad-to-supported-res-and-crop path: the
+    returned centers make the TOP-LEFT ``size`` x ``size`` crop of a
+    ``size_pad``-px render (at the same pixels-per-meter) show exactly the
+    requested view. Same screen-transform inverse as
+    :func:`_expand_subcameras` with tile offset (0, 0)."""
+    lh = -1.0 if left_handed else 1.0
+    d = (size_pad - size) / 2.0 / ppm
+    sin, cos = cam_sc[:, 0], cam_sc[:, 1]
+    cx = cam_xy[:, 0] - (cos * d - sin * lh * d)
+    cy = cam_xy[:, 1] - (sin * d + cos * lh * d)
+    return jnp.stack([cx, cy], axis=-1)
 
 
 class JaxRenderer(BirdviewRenderer):
@@ -196,6 +212,28 @@ class JaxRenderer(BirdviewRenderer):
         return jax.shard_map(fn, mesh=mesh, in_specs=spec, out_specs=spec,
                              check_vma=False)
 
+    def _pad_res_target(self, size: int) -> Optional[int]:
+        """Padded fast-path resolution for a hard-mode size with no
+        whole-vreg band tiling (e.g. 100): render at the next multiple of
+        16 at the SAME pixels-per-meter with the camera shifted so the
+        top-left ``size`` x ``size`` crop is exactly the requested view
+        (matching `torchdrivesim/rendering/base.py:167-204`, where every
+        square res takes a fast backend). None when the size is already
+        supported or the fast path is off."""
+        from torchdrivesim_tpu.ops.pallas_rasterize import supports_res
+        if (not self.cfg.use_pallas or self.cfg.differentiable
+                or not _on_tpu() or size < 4 or supports_res(size)):
+            return None
+        pad = -(-size // 16) * 16
+        return pad if supports_res(pad) else None
+
+    def _pad_cameras(self, cameras: Cameras, size: int, pad_to: int
+                     ) -> Cameras:
+        ppm = cameras.scale * size / 2.0
+        cam_xy = _pad_camera_shift(cameras.xy, cameras.sc, size, pad_to,
+                                   ppm, self.cfg.left_handed_coordinates)
+        return Cameras(cam_xy, cameras.sc, cameras.scale * size / pad_to)
+
     def _use_pallas(self, res: int) -> bool:
         if not self.cfg.use_pallas or self.cfg.differentiable:
             return False
@@ -232,24 +270,30 @@ class JaxRenderer(BirdviewRenderer):
         return mip
 
     def _tiled_mip(self, scale: float, size: int):
-        """Mip + sub-view size for the 2x2 sub-camera decomposition serving
-        resolutions above 128: each quadrant of the image is an independent
-        (size/2)-pixel view at the SAME texels-per-pixel (the mip rule
-        ``cell >= fov*MIP_FACTOR/size`` equals the per-quadrant rule
-        ``cell >= sub_fov*MIP_FACTOR/sub_size``), so the 256-texel-window warp
-        machinery serves it unchanged. Returns (mip, sub_size) or None."""
+        """Mip + sub-view size + tile count for the n x n sub-camera
+        decomposition serving resolutions above 128: each tile of the image
+        is an independent (size/n)-pixel view at the SAME texels-per-pixel
+        (the mip rule ``cell >= fov*MIP_FACTOR/size`` equals the per-tile
+        rule ``cell >= sub_fov*MIP_FACTOR/sub_size``), so the
+        256-texel-window warp machinery serves it unchanged. n is the
+        smallest divisor of ``size`` whose sub-views fit the 128-px window
+        (2x2 up to 256, 3x3 to 384, 4x4 to 512, ...). Returns
+        (mip, sub_size, n) or None."""
         from torchdrivesim_tpu.ops.pallas_rasterize import supports_res
         pyramid = getattr(self, '_mip_pyramid', None)
-        sub = size // 2
-        if (pyramid is None or size <= 128 or size % 2 != 0 or sub > 128
-                or not supports_res(sub)):
+        if pyramid is None or size <= 128:
+            return None
+        n = next((k for k in range(2, size // 16 + 1)
+                  if size % k == 0 and size // k <= 128
+                  and supports_res(size // k)), None)
+        if n is None:
             return None
         from torchdrivesim_tpu.ops.pallas_warp import MIP_FACTOR, select_mip
         fov = 2.0 / scale
         mip = select_mip(pyramid, fov=fov, res=size)
         if mip.cell_size < fov * MIP_FACTOR / size:
             return None
-        return mip, sub
+        return mip, size // n, n
 
     def render_rgb_mesh_chw(self, mesh: RGBMesh, res: Resolution,
                             cameras: Cameras,
@@ -258,8 +302,13 @@ class JaxRenderer(BirdviewRenderer):
         """Produce a channels-first (B, 3, H, W) float image in [0, 255]."""
         assert res.width == res.height, "only square resolutions are supported"
         size = res.width
-        cam_xy = cameras.xy
-        cam_sc = cameras.sc
+        pad_to = self._pad_res_target(size) \
+            if background_texture is None else None
+        if pad_to is not None:
+            image = self.render_rgb_mesh_chw(
+                mesh, Resolution(pad_to, pad_to),
+                self._pad_cameras(cameras, size, pad_to))
+            return image[..., :size, :size]
         scale = cameras.scale
         bg_color = jnp.asarray(self.get_color('background'), jnp.float32) / 255.0
         texture = background_texture if background_texture is not None \
@@ -275,87 +324,123 @@ class JaxRenderer(BirdviewRenderer):
                      and self.cfg.use_pallas and _on_tpu()
                      and self.cfg.diff_fast_background
                      and background_texture is None)
+        soft_pallas = False
+        if self.cfg.differentiable and self.cfg.soft_blend == 'softmax':
+            from torchdrivesim_tpu.ops.pallas_soft import supports_soft
+            soft_pallas = (self.cfg.use_pallas and _on_tpu()
+                           and supports_soft(mesh.faces.shape[1], size))
+            if (self.cfg.use_pallas and _on_tpu() and not soft_pallas
+                    and ('soft', size) not in _warned_fallback_res):
+                _warned_fallback_res.add(('soft', size))
+                logger.warning(
+                    "differentiable render (faces=%d, res=%d) is outside "
+                    "the Pallas soft-kernel fast path (needs res*res %% 128 "
+                    "== 0); falling back to the XLA softmax rasterizer, "
+                    "whose autodiff backward runs ~6x the forward on TPU.",
+                    mesh.faces.shape[1], size)
 
-        # background, in the layout the chosen rasterizer wants
-        mip = self._warp_mip(scale, size) \
-            if (fast_sampling and use_pallas) or diff_fast else None
-        if mip is not None and diff_fast:
-            from torchdrivesim_tpu.ops.pallas_warp import warp_background_diff
-            background = warp_background_diff(
-                mip, cam_xy, cam_sc, scale, bg_color,
-                left_handed=self.cfg.left_handed_coordinates, res=size)
-            # the soft rasterizers take channels-last backgrounds
-            background = jnp.transpose(background, (0, 2, 3, 1))
-        elif mip is not None:
-            from torchdrivesim_tpu.ops.pallas_warp import warp_background_pallas
-            background = warp_background_pallas(
-                mip, cam_xy, cam_sc, scale, bg_color,
-                left_handed=self.cfg.left_handed_coordinates, res=size)
-        elif texture is not None:
-            if fast_sampling:
-                background = sample_background_packed(
-                    self._packed_texture, cam_xy, cam_sc, scale, size, bg_color,
-                    left_handed=self.cfg.left_handed_coordinates,
-                    downsample=self.cfg.background_downsample, chw=use_pallas)
-            elif (self.cfg.differentiable and background_texture is None
-                  and getattr(self, '_quad_texture', None) is not None):
-                # one 4-channel gather per pixel instead of 12 scattered
-                # floats; same bilinear weights, so pose gradients match
-                from torchdrivesim_tpu.ops.rasterize import \
-                    sample_background_quad
-                background = sample_background_quad(
-                    self._quad_texture, cam_xy, cam_sc, scale, size, bg_color,
-                    left_handed=self.cfg.left_handed_coordinates)
-            else:
-                background = sample_background(
-                    texture, cam_xy, cam_sc, scale, size, bg_color,
-                    left_handed=self.cfg.left_handed_coordinates)
-                if use_pallas:
-                    background = jnp.transpose(background, (0, 3, 1, 2))
-        else:
-            shape = (cam_xy.shape[0], 3, size, size) if use_pallas \
-                else (cam_xy.shape[0], size, size, 3)
-            bg_b = bg_color[None, :, None, None] if use_pallas \
-                else bg_color
-            background = jnp.broadcast_to(bg_b, shape)
-
-        rc = camera_rows_cols(mesh.verts[..., :2], cam_xy, cam_sc, scale, size,
-                              left_handed=self.cfg.left_handed_coordinates)
-        sv = jnp.concatenate([rc, mesh.verts[..., 2:3]], axis=-1)
-        cull = self.cfg.cull_max_faces if texture is not None else 0
-
-        if self.cfg.differentiable:
-            if self.cfg.soft_blend == 'softmax':
-                from torchdrivesim_tpu.ops.pallas_soft import (
-                    MAX_FACES, rasterize_softmax_pallas)
-                from torchdrivesim_tpu.ops.rasterize import rasterize_softmax
-                if (self.cfg.use_pallas and _on_tpu()
-                        and mesh.faces.shape[1] <= MAX_FACES
-                        and size <= 128 and (size * size) % 128 == 0):
-                    # custom-VJP kernel: backward ~7x faster than XLA's
-                    # autodiff of the chunked accumulator (no HBM residuals)
-                    image = rasterize_softmax_pallas(
-                        sv, mesh.faces, mesh.attrs, size, background,
-                        sigma=self.cfg.soft_sigma)
+        def _render(verts, faces, attrs, cam_xy, cam_sc):
+            # runs per batch shard under shard_map when shard_mesh is set;
+            # every shape below derives from the LOCAL leading dim
+            bl = cam_xy.shape[0]
+            # background, in the layout the chosen rasterizer wants
+            mip = self._warp_mip(scale, size) \
+                if (fast_sampling and use_pallas) or diff_fast else None
+            if mip is not None and diff_fast:
+                from torchdrivesim_tpu.ops.pallas_warp import (
+                    warp_background_diff)
+                background = warp_background_diff(
+                    mip, cam_xy, cam_sc, scale, bg_color,
+                    left_handed=self.cfg.left_handed_coordinates, res=size)
+                # the soft rasterizers take channels-last backgrounds
+                background = jnp.transpose(background, (0, 2, 3, 1))
+            elif mip is not None:
+                from torchdrivesim_tpu.ops.pallas_warp import (
+                    warp_background_pallas)
+                background = warp_background_pallas(
+                    mip, cam_xy, cam_sc, scale, bg_color,
+                    left_handed=self.cfg.left_handed_coordinates, res=size)
+            elif texture is not None:
+                if fast_sampling:
+                    background = sample_background_packed(
+                        self._packed_texture, cam_xy, cam_sc, scale, size,
+                        bg_color,
+                        left_handed=self.cfg.left_handed_coordinates,
+                        downsample=self.cfg.background_downsample,
+                        chw=use_pallas)
+                elif (self.cfg.differentiable and background_texture is None
+                      and getattr(self, '_quad_texture', None) is not None):
+                    # one 4-channel gather per pixel instead of 12 scattered
+                    # floats; same bilinear weights, so pose gradients match
+                    from torchdrivesim_tpu.ops.rasterize import \
+                        sample_background_quad
+                    background = sample_background_quad(
+                        self._quad_texture, cam_xy, cam_sc, scale, size,
+                        bg_color,
+                        left_handed=self.cfg.left_handed_coordinates)
                 else:
-                    image = rasterize_softmax(sv, mesh.faces, mesh.attrs, size,
-                                              background,
-                                              sigma=self.cfg.soft_sigma)
+                    background = sample_background(
+                        texture, cam_xy, cam_sc, scale, size, bg_color,
+                        left_handed=self.cfg.left_handed_coordinates)
+                    if use_pallas:
+                        background = jnp.transpose(background, (0, 3, 1, 2))
             else:
-                image = rasterize_soft(sv, mesh.faces, mesh.attrs, size,
-                                       background, sigma=self.cfg.soft_sigma)
+                shape = (bl, 3, size, size) if use_pallas \
+                    else (bl, size, size, 3)
+                bg_b = bg_color[None, :, None, None] if use_pallas \
+                    else bg_color
+                background = jnp.broadcast_to(bg_b, shape)
+
+            rc = camera_rows_cols(verts[..., :2], cam_xy, cam_sc, scale, size,
+                                  left_handed=self.cfg.left_handed_coordinates)
+            sv = jnp.concatenate([rc, verts[..., 2:3]], axis=-1)
+            cull = self.cfg.cull_max_faces if texture is not None else 0
+
+            if self.cfg.differentiable:
+                if self.cfg.soft_blend == 'softmax':
+                    if soft_pallas:
+                        # custom-VJP kernel: backward ~7x faster than XLA's
+                        # autodiff of the chunked accumulator (no HBM
+                        # residuals)
+                        from torchdrivesim_tpu.ops.pallas_soft import (
+                            rasterize_softmax_pallas)
+                        image = rasterize_softmax_pallas(
+                            sv, faces, attrs, size, background,
+                            sigma=self.cfg.soft_sigma)
+                    else:
+                        from torchdrivesim_tpu.ops.rasterize import (
+                            rasterize_softmax)
+                        image = rasterize_softmax(sv, faces, attrs, size,
+                                                  background,
+                                                  sigma=self.cfg.soft_sigma)
+                else:
+                    image = rasterize_soft(sv, faces, attrs, size,
+                                           background,
+                                           sigma=self.cfg.soft_sigma)
+                return jnp.transpose(image, (0, 3, 1, 2)) * 255.0
+            if use_pallas:
+                from torchdrivesim_tpu.ops.pallas_rasterize import (
+                    rasterize_hard_pallas)
+                corners, z, color = _face_arrays(sv, faces, attrs)
+                if cull:
+                    corners, z, color = cull_faces_to_view(corners, z, color,
+                                                           size, cull)
+                image = rasterize_hard_pallas(corners, z, color, size,
+                                              background)
+                return image * 255.0
+            image = rasterize_hard(sv, faces, attrs, size, background,
+                                   face_chunk=self.cfg.face_chunk,
+                                   cull_to=cull)
             return jnp.transpose(image, (0, 3, 1, 2)) * 255.0
-        if use_pallas:
-            from torchdrivesim_tpu.ops.pallas_rasterize import rasterize_hard_pallas
-            corners, z, color = _face_arrays(sv, mesh.faces, mesh.attrs)
-            if cull:
-                corners, z, color = cull_faces_to_view(corners, z, color,
-                                                       size, cull)
-            image = rasterize_hard_pallas(corners, z, color, size, background)
-            return image * 255.0
-        image = rasterize_hard(sv, mesh.faces, mesh.attrs, size, background,
-                               face_chunk=self.cfg.face_chunk, cull_to=cull)
-        return jnp.transpose(image, (0, 3, 1, 2)) * 255.0
+
+        # shard_map whenever a Pallas kernel is on the path (hard raster,
+        # warp, diff-fast background, or the soft custom-VJP kernel): XLA
+        # replicates opaque pallas_calls under plain jit, and shard_map
+        # composes with custom_vjp, so sharded TRAINING partitions too
+        # (pinned by tests/test_parallel.py)
+        fn = self._shard_wrap(_render, cameras.xy.shape[0]) \
+            if (use_pallas or diff_fast or soft_pallas) else _render
+        return fn(mesh.verts, mesh.faces, mesh.attrs, cameras.xy, cameras.sc)
 
     def render_faces_chw(self, corners: jnp.ndarray, z: jnp.ndarray,
                          colors: jnp.ndarray, res: Resolution,
@@ -371,6 +456,12 @@ class JaxRenderer(BirdviewRenderer):
         """
         assert res.width == res.height
         size = res.width
+        pad_to = self._pad_res_target(size)
+        if pad_to is not None:
+            image = self.render_faces_chw(
+                corners, z, colors, Resolution(pad_to, pad_to),
+                self._pad_cameras(cameras, size, pad_to))
+            return image[..., :size, :size]
         b, f = z.shape
         cam_xy, cam_sc, scale = cameras.xy, cameras.sc, cameras.scale
         bg_color = jnp.asarray(self.get_color('background'), jnp.float32) / 255.0
@@ -442,6 +533,13 @@ class JaxRenderer(BirdviewRenderer):
         """
         assert res.width == res.height
         size = res.width
+        pad_to = self._pad_res_target(size)
+        if pad_to is not None:
+            image = self.render_prims_chw(
+                quads, qz, qcolors, tris, tz, tcolors,
+                Resolution(pad_to, pad_to),
+                self._pad_cameras(cameras, size, pad_to), packed=packed)
+            return image[..., :size, :size]
         b, q = qz.shape
         t = tz.shape[1]
         cam_xy, cam_sc, scale = cameras.xy, cameras.sc, cameras.scale
@@ -471,16 +569,16 @@ class JaxRenderer(BirdviewRenderer):
                 if t == 0:
                     st = st[:, :0]
                 if tiled is not None:
-                    # res > 128: render four independent (size/2)-px
-                    # quadrant views through the same fused kernel (prim
+                    # res > 128: render n*n independent (size/n)-px
+                    # tile views through the same fused kernel (prim
                     # coords shift in pixel space; sub-cameras recenter in
-                    # world space), then stitch -- each quadrant gets its
+                    # world space), then stitch -- each tile gets its
                     # own prim budget and band masks
-                    mip_k, size_k = tiled
+                    mip_k, size_k, n_tile = tiled
                     (sq, st, qz_l, qcol_l, tz_l, tcol_l, cam_xy_l,
                      cam_sc_l) = _expand_subcameras(
                         sq, st, qz, qcolors, tz, tcolors, cam_xy, cam_sc,
-                        size, size_k, scale, lh)
+                        size, size_k, scale, lh, n=n_tile)
                     scale_k = scale * size / size_k
                 else:
                     mip_k, size_k, scale_k = mip, size, scale
@@ -510,7 +608,7 @@ class JaxRenderer(BirdviewRenderer):
                         qz_s, qcol_s, st_s, tz_s, tcol_s, qmask, tmask,
                         res=size_k, left_handed=lh, packed_output=packed)
                     if tiled is not None:
-                        image = _assemble_quadrants(image, size)
+                        image = _assemble_quadrants(image, size, n=n_tile)
                     if packed:
                         return image
                 else:
