@@ -22,6 +22,7 @@ Replaces the composite step of the reference's renderer stack
 static + dynamic mesh every frame instead of warping a baked background.
 """
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,16 +44,31 @@ from torchdrivesim_tpu.ops.pallas_warp import (
 #: reasoning as the standalone warp kernel's CAMS_PER_PROGRAM)
 CAMS_PER_PROGRAM = 4
 
+#: experiment knob: route res == 128 through the 2D SMEM-scalar prim path
+#: (skips the per-band (1, 4096) -> (32, 128) relayout; see _fused_cameras_2d)
+_FORCE_2D = os.environ.get('TDS_FUSED_2D') == '1'
+#: experiment knob (timing-only ablations; wrong pixels): '' | 'nowarp' |
+#: 'nobest' | 'nobranch'
+_ABLATE = os.environ.get('TDS_FUSED_ABLATE', '')
+
 
 def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
                   tcoef_ref, tpk_ref, tex_ref, out_ref, win_ref, sem,
                   best_ref, tmp_ref, out_tmp_ref, *, res, qp, tp, chunk, n_bands, cams,
-                  packed_out=False):
+                  packed_out=False, use_2d=False):
     """``cams`` cameras per program: banded prim winners (flat tiles,
     chunk-masked via ``@pl.when`` as in ``_raster_kernel_prims_masked``),
     then warp + composite in the 2D layout. All window DMAs start before
     any camera's prim math so the copies hide behind compute; batching
     cameras amortizes per-program fixed costs (scratch init, grid setup)."""
+    if _ABLATE == 'empty':
+        for c in range(cams):
+            if packed_out:
+                out_ref[c] = jnp.zeros((res, res), jnp.int32)
+            else:
+                out_ref[c] = jnp.zeros((3, res, res), jnp.float32)
+        return
+
     dmas = [start_window_dma(icoef_ref, c, tex_ref, win_ref.at[c], sem.at[c])
             for c in range(cams)]
 
@@ -60,7 +76,7 @@ def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
     inv255 = 1.0 / 255.0
     rpb = band_rows(res)                         # rows per band
 
-    if res != RES:
+    if res != RES or use_2d:
         # res < 128: the (1, PIXELS) -> (rpb, res) relayout the flat path
         # bridges with is unsupported by Mosaic for non-128 lane counts, so
         # the prim winners resolve directly on 2D (rpb, res) tiles -- same
@@ -73,9 +89,10 @@ def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
         return
 
     for c in range(cams):
-        best_ref[:, :] = jnp.full((n_bands, PIXELS_PER_TILE), sentinel,
-                                  jnp.int32)
-        for j in range(n_bands):
+        if _ABLATE != 'nobest':
+            best_ref[:, :] = jnp.full((n_bands, PIXELS_PER_TILE), sentinel,
+                                      jnp.int32)
+        for j in range(n_bands if _ABLATE != 'nobest' else 0):
             base = j * PIXELS_PER_TILE
             idx = jax.lax.broadcasted_iota(
                 jnp.int32, (1, PIXELS_PER_TILE), 1) + base
@@ -85,8 +102,13 @@ def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
             def affine(cf, px=px, py=py):
                 return cf[:, 0:1] * px + cf[:, 1:2] * py + cf[:, 2:3]
 
+            def when(cond):
+                if _ABLATE == 'nobranch':
+                    return lambda fn: fn()
+                return pl.when(cond)
+
             for ci, s in enumerate(range(0, qp, chunk)):
-                @pl.when(qm_ref[c, j, 0, ci] != 0)
+                @when(qm_ref[c, j, 0, ci] != 0)
                 def _(s=s, j=j, c=c, affine=affine):
                     g = jnp.maximum(
                         jnp.abs(affine(qcoef_ref[c, 0, s:s + chunk])),
@@ -98,7 +120,7 @@ def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
                         jnp.min(qv, axis=0, keepdims=True))
 
             for ci, s in enumerate(range(0, tp, chunk)):
-                @pl.when(tm_ref[c, j, 0, ci] != 0)
+                @when(tm_ref[c, j, 0, ci] != 0)
                 def _(s=s, j=j, c=c, affine=affine):
                     emin = jnp.minimum(
                         jnp.minimum(affine(tcoef_ref[c, 0, s:s + chunk]),
@@ -111,10 +133,19 @@ def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
                         jnp.min(tv, axis=0, keepdims=True))
 
         # warp the texture window (DMA waited inside, after the index math)
-        bg2d = warp_view_packed(fcoef_ref, icoef_ref, c, win_ref.at[c],
-                                dmas[c], tmp_ref=tmp_ref,
-                                out_tmp_ref=out_tmp_ref)
+        if _ABLATE == 'nowarp':
+            dmas[c].wait()
+            bg2d = win_ref[c, :, :RES]
+        else:
+            bg2d = warp_view_packed(fcoef_ref, icoef_ref, c, win_ref.at[c],
+                                    dmas[c], tmp_ref=tmp_ref,
+                                    out_tmp_ref=out_tmp_ref)
 
+        if _ABLATE == 'nocomp':
+            out_ref[c, 0, :, :] = bg2d.astype(jnp.float32)
+            out_ref[c, 1, :, :] = bg2d.astype(jnp.float32)
+            out_ref[c, 2, :, :] = bg2d.astype(jnp.float32)
+            continue
         # composite per band in the 2D layout; prim pack is rank<<24 |
         # R<<16 | G<<8 | B, background pack is 0x00BBGGRR
         for j in range(n_bands):
@@ -227,7 +258,8 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
                               qmask: jnp.ndarray, tmask: jnp.ndarray,
                               res: int = RES,
                               left_handed: bool = False,
-                              packed_output: bool = False) -> jnp.ndarray:
+                              packed_output: bool = False,
+                              chunk: int = 8) -> jnp.ndarray:
     """
     Hard z-priority rasterization of typed primitives directly over the
     warped baked background, in a single fused kernel.
@@ -265,8 +297,19 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
                                      background_color, left_handed, res=res)
     qcoef, qpk, tcoef, tpk = _prep_prims(quads, qz, qcolors, tris, tz,
                                          tcolors)
+    if qpk.shape[1] % chunk or tpk.shape[1] % chunk:
+        padp = lambda a, n: jnp.pad(
+            a, ((0, 0),) * (a.ndim - 2) + ((0, n), (0, 0)))
+        nq = -(-qpk.shape[1] // chunk) * chunk - qpk.shape[1]
+        nt = -(-tpk.shape[1] // chunk) * chunk - tpk.shape[1]
+        qcoef, qpk = padp(qcoef, nq), padp(qpk, nq)
+        tcoef, tpk = padp(tcoef, nt), padp(tpk, nt)
+        # padded prims have zero coefficients (edge value 0 passes the
+        # quad |g| <= 0.5 / tri emin >= 0 tests) -- give them sentinel packs
+        qpk = qpk.at[:, -nq:].set(np.int32(0x7FFFFFFF)) if nq else qpk
+        tpk = tpk.at[:, -nt:].set(np.int32(0x7FFFFFFF)) if nt else tpk
     qp, tp = qpk.shape[1], tpk.shape[1]
-    cq, ct = qp // 8, tp // 8
+    cq, ct = qp // chunk, tp // chunk
     qmask = jnp.pad(qmask, ((0, 0), (0, 0), (0, 0),
                             (0, cq - qmask.shape[3])))
     tmask = jnp.pad(tmask, ((0, 0), (0, 0), (0, 0),
@@ -282,9 +325,10 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
 
     cam_idx = lambda i: (i, 0, 0, 0)
     cam_idx3 = lambda i: (i, 0, 0)
+    use_2d = res != RES or _FORCE_2D
     # the flat path reads prim coefficients as (chunk, PIXELS) vector
     # broadcasts (VMEM); the 2D path reads them as per-prim scalars (SMEM)
-    prim_space = pltpu.VMEM if res == RES else pltpu.SMEM
+    prim_space = pltpu.SMEM if use_2d else pltpu.VMEM
     if packed_output:
         out_spec = pl.BlockSpec((cams, res, res), cam_idx3,
                                 memory_space=pltpu.VMEM)
@@ -294,9 +338,9 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((b_pad, 3, res, res), jnp.float32)
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, res=res, qp=qp, tp=tp, chunk=8,
+        functools.partial(_fused_kernel, res=res, qp=qp, tp=tp, chunk=chunk,
                           n_bands=n_bands, cams=cams,
-                          packed_out=packed_output),
+                          packed_out=packed_output, use_2d=use_2d),
         grid=(b_pad // cams,),
         in_specs=[
             pl.BlockSpec((cams, 1, 14), cam_idx3, memory_space=pltpu.SMEM),
@@ -316,8 +360,8 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((cams, WIN_ROWS, WINDOW), jnp.int32),
             pltpu.SemaphoreType.DMA((cams,)),
-            pltpu.VMEM((n_bands, PIXELS_PER_TILE), jnp.int32) if res == RES
-            else pltpu.VMEM((res, res), jnp.int32),
+            pltpu.VMEM((res, res), jnp.int32) if use_2d
+            else pltpu.VMEM((n_bands, PIXELS_PER_TILE), jnp.int32),
             pltpu.VMEM((WINDOW, RES), jnp.int32),
             pltpu.VMEM((RES, RES), jnp.int32),
         ],
