@@ -278,7 +278,9 @@ def run_benchmark(scenario: BenchmarkScenario, steps_per_chunk: int = 50,
     # hides behind the fused kernel's compute), so the headline keeps the
     # standard float image; the packed path stays available for consumers
     # that reduce or store frames
-    step = scenario.make_step_fn(render=True, metrics=True)
+    step = scenario.make_step_fn(
+        render=True, metrics=True,
+        packed_image=os.environ.get('BENCH_PACKED') == '1')
     b = sim.batch_size
     from torchdrivesim_tpu.rendering.jax_renderer import image_checksum
 

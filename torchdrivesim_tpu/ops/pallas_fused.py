@@ -42,14 +42,18 @@ from torchdrivesim_tpu.ops.pallas_warp import (
 #: cameras per fused program: the per-camera work is a few microseconds, so
 #: per-program fixed costs and DMA latency are worth amortizing (same
 #: reasoning as the standalone warp kernel's CAMS_PER_PROGRAM)
-CAMS_PER_PROGRAM = 4
+CAMS_PER_PROGRAM = int(os.environ.get('TDS_FUSED_CAMS', '4'))
 
 #: experiment knob: route res == 128 through the 2D SMEM-scalar prim path
 #: (skips the per-band (1, 4096) -> (32, 128) relayout; see _fused_cameras_2d)
 _FORCE_2D = os.environ.get('TDS_FUSED_2D') == '1'
 #: experiment knob (timing-only ablations; wrong pixels): '' | 'nowarp' |
-#: 'nobest' | 'nobranch'
+#: 'nobest' | 'nobranch' | 'empty' | 'skip' (no pallas_call at all --
+#: isolates program-launch + output-write overhead vs 'empty')
 _ABLATE = os.environ.get('TDS_FUSED_ABLATE', '')
+#: experiment knob: prim chunk size for the @pl.when occupancy masking
+#: (finer chunks skip more dead prims but emit more branches)
+_CHUNK = int(os.environ.get('TDS_FUSED_CHUNK', '8'))
 
 
 def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
@@ -259,7 +263,7 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
                               res: int = RES,
                               left_handed: bool = False,
                               packed_output: bool = False,
-                              chunk: int = 8) -> jnp.ndarray:
+                              chunk: int = None) -> jnp.ndarray:
     """
     Hard z-priority rasterization of typed primitives directly over the
     warped baked background, in a single fused kernel.
@@ -288,15 +292,85 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
         packed RGB8 when ``packed_output``.
     """
     assert res <= RES, "the 256-texel window only covers views up to 128 px"
+    if chunk is None:
+        chunk = _CHUNK
     b = cam_xy.shape[0]
-    n_bands = res // band_rows(res)
-    assert qmask.shape[:2] == (b, n_bands), qmask.shape
-    assert tmask.shape[:2] == (b, n_bands), tmask.shape
-
+    if _ABLATE == 'skip':
+        # timing-only: measure the step with NO pallas_call at all. The
+        # kernel inputs (sort, masks, prim gen) become dead and XLA DCEs
+        # them, so this is the bare funcstep+metrics floor.
+        if packed_output:
+            return jnp.zeros((b, res, res), jnp.int32)
+        return jnp.zeros((b, 3, res, res), jnp.float32)
+    if _ABLATE == 'skipprep':
+        # timing-only: no pallas_call, but CONSUME the prim prep (sort,
+        # masks, coefficient build) so XLA cannot DCE it -- 'skipprep'
+        # minus 'skip' is the prep cost; 'empty' minus 'skipprep' is pure
+        # program-launch + zero-output-write cost
+        fcoef, icoef = warp_coefficients(mip, cam_xy, cam_sc, scale,
+                                         background_color, left_handed,
+                                         res=res)
+        qcoef, qpk, tcoef, tpk = _prep_prims(quads, qz, qcolors, tris, tz,
+                                             tcolors)
+        keep = (jnp.sum(fcoef) + jnp.sum(qcoef) + jnp.sum(tcoef)
+                + (jnp.sum(qpk) + jnp.sum(tpk)).astype(jnp.float32)
+                + (jnp.sum(qmask) + jnp.sum(tmask)).astype(jnp.float32))
+        if packed_output:
+            return jnp.zeros((b, res, res), jnp.int32) + keep.astype(jnp.int32) * 0
+        return jnp.zeros((b, 3, res, res), jnp.float32) + keep * 0.0
     fcoef, icoef = warp_coefficients(mip, cam_xy, cam_sc, scale,
                                      background_color, left_handed, res=res)
     qcoef, qpk, tcoef, tpk = _prep_prims(quads, qz, qcolors, tris, tz,
                                          tcolors)
+    return _render_coefs_fused(mip, fcoef, icoef, qcoef, qpk, tcoef, tpk,
+                               qmask, tmask, res=res,
+                               packed_output=packed_output, chunk=chunk)
+
+
+def render_coefs_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
+                              cam_sc: jnp.ndarray, scale: float,
+                              background_color: jnp.ndarray,
+                              qcoef: jnp.ndarray, qpk: jnp.ndarray,
+                              tcoef: jnp.ndarray, tpk: jnp.ndarray,
+                              qmask: jnp.ndarray, tmask: jnp.ndarray,
+                              res: int = RES,
+                              left_handed: bool = False,
+                              packed_output: bool = False,
+                              chunk: int = None) -> jnp.ndarray:
+    """:func:`render_prims_fused_pallas` for PRE-BUILT kernel operands
+    (``ops.rasterize.prep_sorted_prim_coefs``): same kernel, same output
+    contract, but the caller supplies the packed coefficient tensors
+    directly, skipping the corner-tensor round trip entirely."""
+    assert res <= RES, "the 256-texel window only covers views up to 128 px"
+    if chunk is None:
+        chunk = _CHUNK
+    if _ABLATE == 'skip':
+        b = cam_xy.shape[0]
+        if packed_output:
+            return jnp.zeros((b, res, res), jnp.int32)
+        return jnp.zeros((b, 3, res, res), jnp.float32)
+    fcoef, icoef = warp_coefficients(mip, cam_xy, cam_sc, scale,
+                                     background_color, left_handed, res=res)
+    if _ABLATE == 'skipprep':
+        b = cam_xy.shape[0]
+        keep = (jnp.sum(fcoef) + jnp.sum(qcoef) + jnp.sum(tcoef)
+                + (jnp.sum(qpk) + jnp.sum(tpk)).astype(jnp.float32)
+                + (jnp.sum(qmask) + jnp.sum(tmask)).astype(jnp.float32))
+        if packed_output:
+            return (jnp.zeros((b, res, res), jnp.int32)
+                    + keep.astype(jnp.int32) * 0)
+        return jnp.zeros((b, 3, res, res), jnp.float32) + keep * 0.0
+    return _render_coefs_fused(mip, fcoef, icoef, qcoef, qpk, tcoef, tpk,
+                               qmask, tmask, res=res,
+                               packed_output=packed_output, chunk=chunk)
+
+
+def _render_coefs_fused(mip, fcoef, icoef, qcoef, qpk, tcoef, tpk,
+                        qmask, tmask, *, res, packed_output, chunk):
+    b = fcoef.shape[0]
+    n_bands = res // band_rows(res)
+    assert qmask.shape[:2] == (b, n_bands), qmask.shape
+    assert tmask.shape[:2] == (b, n_bands), tmask.shape
     if qpk.shape[1] % chunk or tpk.shape[1] % chunk:
         padp = lambda a, n: jnp.pad(
             a, ((0, 0),) * (a.ndim - 2) + ((0, n), (0, 0)))

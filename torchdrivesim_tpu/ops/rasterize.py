@@ -307,6 +307,181 @@ def sort_prims_rowmajor_with_masks(corners: jnp.ndarray, z: jnp.ndarray,
     return corners, z, color, (m > 0).astype(jnp.int32)[:, :, None, :]
 
 
+def _stable_rank(key: jnp.ndarray) -> jnp.ndarray:
+    """Stable ascending rank: ``rank[b, i]`` is the position element ``i``
+    takes when ``key[b]`` is sorted ascending with index tie-break --
+    exactly the permutation a stable ``lax.sort`` applies. O(N^2) pairwise
+    compares on the VPU; no sort, no gathers."""
+    n = key.shape[1]
+    idx = jnp.arange(n)
+    lt = key[:, None, :] < key[:, :, None]          # [b, i, j]: key_j < key_i
+    eq = key[:, None, :] == key[:, :, None]
+    tie = (idx[None, :] < idx[:, None])[None]       # [i, j]: j < i
+    return jnp.sum(lt | (eq & tie), axis=-1).astype(jnp.int32)
+
+
+def _permute_rows(rank: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
+    """Apply the permutation ``rank`` (from :func:`_stable_rank`) to the
+    rows of ``vals`` (B, N, M): ``out[b, r] = vals[b, i]`` where
+    ``rank[b, i] == r`` -- as a one-hot batched matmul, which the MXU eats
+    in a couple of microseconds. ``Precision.HIGHEST`` keeps f32 payloads
+    bit-exact (one-hot rows select a single value; the default bf16 pass
+    would round it). This replaces the 13+-operand ``lax.sort`` whose
+    stack/unstack re-assembly cost ~30 small layout-copy ops (~0.19
+    ms/step at batch 256 -- each tiny (256, N) relayout pays the ~6 us
+    small-op floor)."""
+    b, n = rank.shape
+    onehot = (rank[:, None, :] == jnp.arange(n)[None, :, None]
+              ).astype(vals.dtype)                  # (B, r, i)
+    return jax.lax.dot_general(
+        onehot, vals, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def prep_sorted_prim_coefs(quads: jnp.ndarray, qz: jnp.ndarray,
+                           qcolors: jnp.ndarray, tris: jnp.ndarray,
+                           tz: jnp.ndarray, tcolors: jnp.ndarray,
+                           res: int, cap: int, n_bands: int,
+                           chunk: int = 8):
+    """
+    Row-major-sorted fused-kernel operands WITHOUT the multi-operand sort:
+    per-prim coefficient math commutes with reordering, so the packed
+    coefficients are computed on the unsorted prims and reordered with a
+    one-hot permutation matmul (:func:`_permute_rows`); the band-chunk
+    occupancy masks contract unsorted band hits against a rank-derived
+    chunk one-hot, so nothing else needs permuting.
+
+    Pixel-identical to ``sort_prims_rowmajor_with_masks`` followed by the
+    fused kernel's ``_prep_prims`` (the z-rank tie-break epsilon is applied
+    at each prim's SORTED position, reproducing the sorted path's packed
+    values bit-for-bit), but with none of that path's stack/unstack layout
+    copies.
+
+    Returns:
+        (qcoef (B, 2, QP, 3), qpk (B, QP, 1), qmask (B, J, 1, QP/chunk),
+         tcoef (B, 3, TP, 3), tpk (B, TP, 1), tmask (B, J, 1, TP/chunk)),
+        or ``None`` when a prim type exceeds ``cap`` (caller falls back to
+        the trimming sort path).
+    """
+    b, q = qz.shape
+    t = tz.shape[1]
+    n = q + t
+    if q > cap or t > cap or n > 127:
+        return None
+    sentinel = np.int32(0x7FFFFFFF)
+    big = jnp.float32(3e38)
+    band_h = res / n_bands
+    bands_lo = jnp.arange(n_bands, dtype=jnp.float32)[None, :, None] * band_h
+
+    def masks_of(rank, rmin, rmax, alive, n_chunks):
+        lo = jnp.where(alive, rmin, 1e9)[:, None, :]         # (B, 1, N)
+        hi = jnp.where(alive, rmax, -1e9)[:, None, :]
+        hits = ((hi >= bands_lo) & (lo < bands_lo + band_h)
+                ).astype(jnp.float32)                        # (B, J, N)
+        conehot = ((rank // chunk)[:, :, None]
+                   == jnp.arange(n_chunks)[None, None, :]
+                   ).astype(jnp.float32)                     # (B, N, C)
+        m = jax.lax.dot_general(
+            hits, conehot, (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST)
+        return (m > 0).astype(jnp.int32)[:, :, None, :]
+
+    # row-major ranks per type (dead prims last, as the sort's key does)
+    if q:
+        q_rmin, q_rmax, q_alive = _prim_screen_stats(quads, res)
+        q_rank = _stable_rank(jnp.where(q_alive, q_rmin, big))
+    if t:
+        t_rmin, t_rmax, t_alive = _prim_screen_stats(tris, res)
+        t_rank = _stable_rank(jnp.where(t_alive, t_rmin, big))
+
+    # joint z -> 7-bit rank, with the tie-break epsilon indexed by each
+    # prim's SORTED position so the packed values match the sorted path
+    # exactly (`_prep_prims` applies arange(n) AFTER sorting)
+    pos = jnp.concatenate(
+        ([q_rank] if q else []) + ([q + t_rank] if t else []),
+        axis=1).astype(qz.dtype)
+    z = jnp.concatenate([qz, tz], axis=1)
+    z = z + pos * min(1e-4, 0.09 / max(n, 1))
+    zpos = (z - jnp.min(z, axis=1, keepdims=True) + 1.0).astype(jnp.float32)
+    zrank = jnp.sum(zpos[:, None, :] < zpos[:, :, None], axis=-1,
+                    dtype=jnp.int32)
+    colors = jnp.concatenate([qcolors, tcolors], axis=1)
+    c8 = jnp.clip(jnp.round(colors * 255.0), 0, 255).astype(jnp.int32)
+    rgb = (c8[..., 0] << 16) | (c8[..., 1] << 8) | c8[..., 2]
+    packed = (zrank << 24) | rgb
+
+    def hi_lo(pk):
+        # split the 31-bit pack into two < 2^16 halves (exact in f32)
+        return ((pk >> 16).astype(jnp.float32),
+                (pk & 0xFFFF).astype(jnp.float32))
+
+    from torchdrivesim_tpu.ops.pallas_rasterize import (
+        _edge_coefficients_edge_major, _pad_prims)
+
+    if q:
+        # quad affine coordinates, identical math to `_prep_prims`
+        c0 = quads[:, :, 0]
+        e1 = quads[:, :, 1] - c0
+        e2 = quads[:, :, 3] - c0
+        cross = e1[..., 0] * e2[..., 1] - e1[..., 1] * e2[..., 0]
+        q_valid = jnp.abs(cross) > 1e-9
+        d = jnp.where(q_valid, cross, 1.0)[..., None]
+
+        def affine_coords(nrm):
+            a = nrm / d
+            c = -jnp.sum(a * c0, axis=-1, keepdims=True) - 0.5
+            return jnp.concatenate([a, c], axis=-1)          # (B, Q, 3)
+
+        perp = lambda e: jnp.stack([e[..., 1], -e[..., 0]], axis=-1)
+        qpk_u = jnp.where(q_valid & q_alive, packed[:, :q], sentinel)
+        qhi, qlo = hi_lo(qpk_u)
+        qvals = jnp.concatenate(
+            [affine_coords(perp(e2)), affine_coords(-perp(e1)),
+             qhi[..., None], qlo[..., None]], axis=-1)       # (B, Q, 8)
+        qs = _permute_rows(q_rank, qvals)
+        qcoef = jnp.swapaxes(qs[..., :6].reshape(b, q, 2, 3), 1, 2)
+        qpk = ((qs[..., 6].astype(jnp.int32) << 16)
+               | qs[..., 7].astype(jnp.int32))[..., None]
+        qp = max(8, -(-q // 8) * 8)
+        qcoef, = _pad_prims([jnp.swapaxes(qcoef, 1, 2)], q, qp)
+        qcoef = jnp.swapaxes(qcoef, 1, 2)
+        qpk, = _pad_prims([qpk], q, qp, fill=int(sentinel))
+        qmask = masks_of(q_rank, q_rmin, q_rmax, q_alive,
+                         max(1, qp // chunk))
+    else:
+        qp = 8
+        qcoef = jnp.zeros((b, 2, qp, 3), jnp.float32)
+        qpk = jnp.full((b, qp, 1), sentinel, jnp.int32)
+        qmask = jnp.zeros((b, n_bands, 1, max(1, qp // chunk)), jnp.int32)
+
+    if t:
+        tcoef_u, area = _edge_coefficients_edge_major(tris)
+        tcoef_u = tcoef_u * jnp.sign(area)[:, None, :, None]
+        t_valid = jnp.abs(area) > 1e-9
+        tpk_u = jnp.where(t_valid & t_alive, packed[:, q:], sentinel)
+        thi, tlo = hi_lo(tpk_u)
+        tvals = jnp.concatenate(
+            [jnp.moveaxis(tcoef_u, 1, 2).reshape(b, t, 9),
+             thi[..., None], tlo[..., None]], axis=-1)       # (B, T, 11)
+        ts = _permute_rows(t_rank, tvals)
+        tcoef = jnp.moveaxis(ts[..., :9].reshape(b, t, 3, 3), 2, 1)
+        tpk = ((ts[..., 9].astype(jnp.int32) << 16)
+               | ts[..., 10].astype(jnp.int32))[..., None]
+        tp = max(8, -(-t // 8) * 8)
+        tcoef, = _pad_prims([jnp.swapaxes(tcoef, 1, 2)], t, tp)
+        tcoef = jnp.swapaxes(tcoef, 1, 2)
+        tpk, = _pad_prims([tpk], t, tp, fill=int(sentinel))
+        tmask = masks_of(t_rank, t_rmin, t_rmax, t_alive,
+                         max(1, tp // chunk))
+    else:
+        tp = 8
+        tcoef = jnp.zeros((b, 3, tp, 3), jnp.float32)
+        tpk = jnp.full((b, tp, 1), sentinel, jnp.int32)
+        tmask = jnp.zeros((b, n_bands, 1, max(1, tp // chunk)), jnp.int32)
+
+    return qcoef, qpk, qmask, tcoef, tpk, tmask
+
+
 def prim_band_chunk_masks(corners: jnp.ndarray, res: int, n_bands: int,
                           chunk: int = 8) -> jnp.ndarray:
     """

@@ -16,6 +16,7 @@ Two compute paths:
 from __future__ import annotations
 
 import logging
+import os
 from typing import Optional
 
 import jax
@@ -593,25 +594,56 @@ class JaxRenderer(BirdviewRenderer):
                 # the corner tensor
                 n_bands = n_bands_for(size_k)
                 cap = min(max(8, self.cfg.band_budget), 56)
-                sq_s, qz_s, qcol_s, qmask = sort_prims_rowmajor_with_masks(
-                    sq, qz_l, qcol_l, size_k, cap, n_bands)
-                st_s, tz_s, tcol_s, tmask = sort_prims_rowmajor_with_masks(
-                    st, tz_l, tcol_l, size_k, cap, n_bands)
                 if mip_k is not None:
                     # fused kernel: warp + rasterize + composite in one
                     # program, no background HBM round trip (bit-exact vs
-                    # the split path)
+                    # the split path). Operand prep goes through the
+                    # permutation-matmul path (no multi-operand sort, no
+                    # stack/unstack layout copies) whenever the prim count
+                    # fits the band budget; TDS_PREP=sort forces the
+                    # lax.sort path for A/B timing.
                     from torchdrivesim_tpu.ops.pallas_fused import (
+                        _CHUNK as prim_chunk, render_coefs_fused_pallas,
                         render_prims_fused_pallas)
-                    image = render_prims_fused_pallas(
-                        mip_k, cam_xy_l, cam_sc_l, scale_k, bg_color, sq_s,
-                        qz_s, qcol_s, st_s, tz_s, tcol_s, qmask, tmask,
-                        res=size_k, left_handed=lh, packed_output=packed)
+                    from torchdrivesim_tpu.ops.rasterize import (
+                        prep_sorted_prim_coefs)
+                    prep = None
+                    if os.environ.get('TDS_PREP') != 'sort':
+                        prep = prep_sorted_prim_coefs(
+                            sq, qz_l, qcol_l, st, tz_l, tcol_l, size_k,
+                            cap, n_bands, chunk=prim_chunk)
+                    if prep is not None:
+                        qcoef, qpk, qmask, tcoef, tpk, tmask = prep
+                        image = render_coefs_fused_pallas(
+                            mip_k, cam_xy_l, cam_sc_l, scale_k, bg_color,
+                            qcoef, qpk, tcoef, tpk, qmask, tmask,
+                            res=size_k, left_handed=lh,
+                            packed_output=packed)
+                    else:
+                        sq_s, qz_s, qcol_s, qmask = \
+                            sort_prims_rowmajor_with_masks(
+                                sq, qz_l, qcol_l, size_k, cap, n_bands,
+                                chunk=prim_chunk)
+                        st_s, tz_s, tcol_s, tmask = \
+                            sort_prims_rowmajor_with_masks(
+                                st, tz_l, tcol_l, size_k, cap, n_bands,
+                                chunk=prim_chunk)
+                        image = render_prims_fused_pallas(
+                            mip_k, cam_xy_l, cam_sc_l, scale_k, bg_color,
+                            sq_s, qz_s, qcol_s, st_s, tz_s, tcol_s, qmask,
+                            tmask, res=size_k, left_handed=lh,
+                            packed_output=packed)
                     if tiled is not None:
                         image = _assemble_quadrants(image, size, n=n_tile)
                     if packed:
                         return image
                 else:
+                    sq_s, qz_s, qcol_s, qmask = \
+                        sort_prims_rowmajor_with_masks(
+                            sq, qz_l, qcol_l, size_k, cap, n_bands)
+                    st_s, tz_s, tcol_s, tmask = \
+                        sort_prims_rowmajor_with_masks(
+                            st, tz_l, tcol_l, size_k, cap, n_bands)
                     if self._packed_texture is not None:
                         background = sample_background_packed(
                             self._packed_texture, cam_xy, cam_sc, scale,
