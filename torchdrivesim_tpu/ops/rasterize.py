@@ -322,20 +322,36 @@ def _stable_rank(key: jnp.ndarray) -> jnp.ndarray:
 
 def _permute_rows(rank: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
     """Apply the permutation ``rank`` (from :func:`_stable_rank`) to the
-    rows of ``vals`` (B, N, M): ``out[b, r] = vals[b, i]`` where
+    rows of ``vals`` (B, N, M f32): ``out[b, r] = vals[b, i]`` where
     ``rank[b, i] == r`` -- as a one-hot batched matmul, which the MXU eats
-    in a couple of microseconds. ``Precision.HIGHEST`` keeps f32 payloads
-    bit-exact (one-hot rows select a single value; the default bf16 pass
-    would round it). This replaces the 13+-operand ``lax.sort`` whose
-    stack/unstack re-assembly cost ~30 small layout-copy ops (~0.19
+    in a couple of microseconds. This replaces the 13+-operand ``lax.sort``
+    whose stack/unstack re-assembly cost ~30 small layout-copy ops (~0.19
     ms/step at batch 256 -- each tiny (256, N) relayout pays the ~6 us
-    small-op floor)."""
+    small-op floor).
+
+    Bit-exactness: a one-hot row selects exactly one payload, but the
+    TPU's default f32 matmul rounds OPERANDS to bf16, and requesting
+    ``Precision.HIGHEST`` instead sent XLA's compiler into pathological
+    (>1 h) compile times once this dot sat inside a scan next to conv
+    layers (the RL benchmark config). So the payload is permuted at the
+    BIT level: bitcast to uint32, split into four bytes -- every value in
+    [0, 255] is exact in bf16 -- permute all byte planes with ONE
+    default-precision dot, and reassemble. Exact for any 32-bit payload,
+    f32 or int32 bits alike."""
     b, n = rank.shape
+    m = vals.shape[-1]
     onehot = (rank[:, None, :] == jnp.arange(n)[None, :, None]
-              ).astype(vals.dtype)                  # (B, r, i)
-    return jax.lax.dot_general(
-        onehot, vals, (((2,), (1,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST)
+              ).astype(jnp.float32)                 # (B, r, i)
+    u = jax.lax.bitcast_convert_type(vals.astype(jnp.float32), jnp.uint32)
+    byts = jnp.stack([(u >> (8 * k)) & 0xFF for k in range(4)],
+                     axis=-1)                       # (B, N, M, 4)
+    planes = byts.astype(jnp.float32).reshape(b, n, m * 4)
+    out = jax.lax.dot_general(
+        onehot, planes, (((2,), (1,)), ((0,), (0,))))
+    ob = out.astype(jnp.uint32).reshape(b, n, m, 4)
+    res = (ob[..., 0] | (ob[..., 1] << 8) | (ob[..., 2] << 16)
+           | (ob[..., 3] << 24))
+    return jax.lax.bitcast_convert_type(res, jnp.float32)
 
 
 def prep_sorted_prim_coefs(quads: jnp.ndarray, qz: jnp.ndarray,
@@ -381,9 +397,10 @@ def prep_sorted_prim_coefs(quads: jnp.ndarray, qz: jnp.ndarray,
         conehot = ((rank // chunk)[:, :, None]
                    == jnp.arange(n_chunks)[None, None, :]
                    ).astype(jnp.float32)                     # (B, N, C)
+        # default precision is exact here: 0/1 operands are bf16-exact and
+        # the MXU accumulates in f32
         m = jax.lax.dot_general(
-            hits, conehot, (((2,), (1,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGHEST)
+            hits, conehot, (((2,), (1,)), ((0,), (0,))))
         return (m > 0).astype(jnp.int32)[:, :, None, :]
 
     # row-major ranks per type (dead prims last, as the sort's key does)
