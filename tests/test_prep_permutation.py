@@ -10,8 +10,10 @@ followed by the fused kernel's ``_prep_prims``):
 * coefficient tensors: bit-identical for every live prim;
 * rendered pixels through the fused kernel (interpret mode): bit-identical.
 
-The one-hot matmul uses ``Precision.HIGHEST`` so f32 payloads survive the
-MXU pass exactly; these tests would catch a precision regression.
+The one-hot matmul permutes payloads at the BIT level (bitcast to uint32,
+split into four bf16-exact byte planes, one default-precision dot,
+reassemble -- ``_permute_rows``) so 32-bit payloads survive the MXU pass
+exactly; these tests would catch a precision regression.
 """
 import numpy as np
 import pytest
@@ -43,15 +45,15 @@ def _scene(seed, b, q, t, degenerate=False, ties=True):
             tris, jnp.asarray(z(t)), jnp.asarray(rng.rand(b, t, 3).astype(np.float32)))
 
 
-def _both(scene):
+def _both(scene, chunk=CHUNK):
     quads, qz, qcol, tris, tz, tcol = scene
     prep = prep_sorted_prim_coefs(quads, qz, qcol, tris, tz, tcol,
-                                  RES, CAP, N_BANDS, CHUNK)
+                                  RES, CAP, N_BANDS, chunk)
     assert prep is not None
     sq_s, qz_s, qcol_s, qmask_o = sort_prims_rowmajor_with_masks(
-        quads, qz, qcol, RES, CAP, N_BANDS, CHUNK)
+        quads, qz, qcol, RES, CAP, N_BANDS, chunk)
     st_s, tz_s, tcol_s, tmask_o = sort_prims_rowmajor_with_masks(
-        tris, tz, tcol, RES, CAP, N_BANDS, CHUNK)
+        tris, tz, tcol, RES, CAP, N_BANDS, chunk)
     old = _prep_prims(sq_s, qz_s, qcol_s, st_s, tz_s, tcol_s)
     return prep, old + (qmask_o, tmask_o)
 
@@ -75,6 +77,32 @@ def test_operand_equivalence(q, t, degenerate):
         live = np.asarray(pk)[..., 0] != SENT
         m = np.broadcast_to(live[:, None, :, None], new.shape)
         np.testing.assert_array_equal(new[m], old_cf[m])
+
+
+@pytest.mark.parametrize('chunk,q,t', [
+    (16, 17, 20),   # qp=24: floor(24/16)=1 chunk used to drop prims 16..23
+    (16, 24, 9),    # qp=24 exactly on the old failing boundary
+    (4, 13, 6),     # chunk < 8 with non-multiple prim counts
+])
+def test_operand_equivalence_nondefault_chunk(chunk, q, t):
+    """Regression: chunk counts must use CEIL division -- with chunk=16 and
+    a 8-padded prim count of 24, floor division produced a 1-chunk mask
+    that silently skipped prims ranked >= 16 in the fused kernel."""
+    prep, old = _both(_scene(q * 7 + t + chunk, 3, q, t), chunk=chunk)
+    qcoef_n, qpk_n, qmask_n, tcoef_n, tpk_n, tmask_n = prep
+    qcoef_o, qpk_o, tcoef_o, tpk_o, qmask_o, tmask_o = old
+    np.testing.assert_array_equal(np.asarray(qmask_n), np.asarray(qmask_o))
+    np.testing.assert_array_equal(np.asarray(tmask_n), np.asarray(tmask_o))
+    # every live prim must be covered by a mask column (the old bug left
+    # high-ranked prims with no column => never rendered)
+    for pk, mask in [(qpk_n, qmask_n), (tpk_n, tmask_n)]:
+        live_rows = np.asarray(pk)[..., 0] != SENT           # (B, P)
+        n_cols = np.asarray(mask).shape[-1]
+        assert n_cols * chunk >= live_rows.sum(axis=1).max()
+    for new, old_pk in [(qpk_n, qpk_o), (tpk_n, tpk_o)]:
+        new, old_pk = np.asarray(new)[..., 0], np.asarray(old_pk)[..., 0]
+        live = new != SENT
+        np.testing.assert_array_equal(new[live], old_pk[live])
 
 
 def test_over_cap_returns_none():

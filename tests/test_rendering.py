@@ -133,3 +133,21 @@ def test_diff_fast_background_renders_and_backprops(monkeypatch):
     assert np.isfinite(np.asarray(gsc)).all()
     assert np.abs(np.asarray(gxy)).max() > 0
     assert np.abs(np.asarray(gsc)).max() > 0
+
+
+def test_prep_fallback_warns_once(caplog):
+    """>127-prim scenes fall back to the sort path with ONE warning
+    (VERDICT r4 item 7 / weak 6)."""
+    import logging as _logging
+
+    from torchdrivesim_tpu.rendering import jax_renderer as JR
+
+    JR._warned_fallback_res.discard(('prep', 130))
+    with caplog.at_level(_logging.WARNING,
+                         logger='torchdrivesim_tpu.rendering.jax_renderer'):
+        JR._warn_prep_fallback(130, 56)
+        JR._warn_prep_fallback(130, 56)
+    msgs = [r for r in caplog.records
+            if 'permutation-prep fallback' in r.getMessage()]
+    assert len(msgs) == 1
+    assert '130' in msgs[0].getMessage()

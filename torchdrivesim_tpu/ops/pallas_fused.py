@@ -49,7 +49,9 @@ CAMS_PER_PROGRAM = int(os.environ.get('TDS_FUSED_CAMS', '4'))
 _FORCE_2D = os.environ.get('TDS_FUSED_2D') == '1'
 #: experiment knob (timing-only ablations; wrong pixels): '' | 'nowarp' |
 #: 'nobest' | 'nobranch' | 'empty' | 'skip' (no pallas_call at all --
-#: isolates program-launch + output-write overhead vs 'empty')
+#: isolates program-launch + output-write overhead vs 'empty') |
+#: 'skipprep' (no pallas_call but the operand prep stays live --
+#: 'skipprep' minus 'skip' is the prep cost)
 _ABLATE = os.environ.get('TDS_FUSED_ABLATE', '')
 #: experiment knob: prim chunk size for the @pl.when occupancy masking
 #: (finer chunks skip more dead prims but emit more branches)
@@ -316,7 +318,10 @@ def render_prims_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
                 + (jnp.sum(qpk) + jnp.sum(tpk)).astype(jnp.float32)
                 + (jnp.sum(qmask) + jnp.sum(tmask)).astype(jnp.float32))
         if packed_output:
-            return jnp.zeros((b, res, res), jnp.int32) + keep.astype(jnp.int32) * 0
+            # int32 x*0 would be algebraically folded, DCE-ing the prep;
+            # isnan(keep) cannot be folded (keep is data-dependent)
+            return (jnp.zeros((b, res, res), jnp.int32)
+                    + jnp.where(jnp.isnan(keep), 1, 0).astype(jnp.int32))
         return jnp.zeros((b, 3, res, res), jnp.float32) + keep * 0.0
     fcoef, icoef = warp_coefficients(mip, cam_xy, cam_sc, scale,
                                      background_color, left_handed, res=res)
@@ -357,8 +362,9 @@ def render_coefs_fused_pallas(mip: Grid2D, cam_xy: jnp.ndarray,
                 + (jnp.sum(qpk) + jnp.sum(tpk)).astype(jnp.float32)
                 + (jnp.sum(qmask) + jnp.sum(tmask)).astype(jnp.float32))
         if packed_output:
+            # see render_prims_fused_pallas: int32 x*0 folds, isnan doesn't
             return (jnp.zeros((b, res, res), jnp.int32)
-                    + keep.astype(jnp.int32) * 0)
+                    + jnp.where(jnp.isnan(keep), 1, 0).astype(jnp.int32))
         return jnp.zeros((b, 3, res, res), jnp.float32) + keep * 0.0
     return _render_coefs_fused(mip, fcoef, icoef, qcoef, qpk, tcoef, tpk,
                                qmask, tmask, res=res,

@@ -464,12 +464,13 @@ def prep_sorted_prim_coefs(quads: jnp.ndarray, qz: jnp.ndarray,
         qcoef = jnp.swapaxes(qcoef, 1, 2)
         qpk, = _pad_prims([qpk], q, qp, fill=int(sentinel))
         qmask = masks_of(q_rank, q_rmin, q_rmax, q_alive,
-                         max(1, qp // chunk))
+                         max(1, -(-qp // chunk)))
     else:
         qp = 8
         qcoef = jnp.zeros((b, 2, qp, 3), jnp.float32)
         qpk = jnp.full((b, qp, 1), sentinel, jnp.int32)
-        qmask = jnp.zeros((b, n_bands, 1, max(1, qp // chunk)), jnp.int32)
+        qmask = jnp.zeros((b, n_bands, 1, max(1, -(-qp // chunk))),
+                          jnp.int32)
 
     if t:
         tcoef_u, area = _edge_coefficients_edge_major(tris)
@@ -489,12 +490,13 @@ def prep_sorted_prim_coefs(quads: jnp.ndarray, qz: jnp.ndarray,
         tcoef = jnp.swapaxes(tcoef, 1, 2)
         tpk, = _pad_prims([tpk], t, tp, fill=int(sentinel))
         tmask = masks_of(t_rank, t_rmin, t_rmax, t_alive,
-                         max(1, tp // chunk))
+                         max(1, -(-tp // chunk)))
     else:
         tp = 8
         tcoef = jnp.zeros((b, 3, tp, 3), jnp.float32)
         tpk = jnp.full((b, tp, 1), sentinel, jnp.int32)
-        tmask = jnp.zeros((b, n_bands, 1, max(1, tp // chunk)), jnp.int32)
+        tmask = jnp.zeros((b, n_bands, 1, max(1, -(-tp // chunk))),
+                          jnp.int32)
 
     return qcoef, qpk, qmask, tcoef, tpk, tmask
 

@@ -27,6 +27,21 @@ logger = logging.getLogger(__name__)
 _warned_fallback_res = set()
 _warned_shard_batch = set()
 
+
+def _warn_prep_fallback(n_prims: int, cap: int) -> None:
+    """One-time notice that the permutation-matmul operand prep declined a
+    scene (>127 prims or per-type over ``cap``) and the renderer is paying
+    the multi-operand sort path's layout-copy tax (~0.2 ms/step at batch
+    256). Mirrors the res-fallback warning convention."""
+    key = ('prep', n_prims)
+    if key not in _warned_fallback_res:
+        _warned_fallback_res.add(key)
+        logger.warning(
+            'permutation-prep fallback: %d prims exceed the one-hot '
+            'permute budget (127, or per-type cap %d); using the '
+            'multi-operand sort path (~0.2 ms/step layout-copy tax at '
+            'batch 256)', n_prims, cap)
+
 from torchdrivesim_tpu.mesh import RGBMesh
 from torchdrivesim_tpu.ops.grids import Grid2D
 from torchdrivesim_tpu.ops.rasterize import (
@@ -612,6 +627,9 @@ class JaxRenderer(BirdviewRenderer):
                         prep = prep_sorted_prim_coefs(
                             sq, qz_l, qcol_l, st, tz_l, tcol_l, size_k,
                             cap, n_bands, chunk=prim_chunk)
+                        if prep is None:
+                            _warn_prep_fallback(
+                                qz_l.shape[1] + tz_l.shape[1], cap)
                     if prep is not None:
                         qcoef, qpk, qmask, tcoef, tpk, tmask = prep
                         image = render_coefs_fused_pallas(
