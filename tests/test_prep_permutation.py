@@ -25,8 +25,11 @@ from torchdrivesim_tpu.ops.pallas_rasterize import _prep_prims
 from torchdrivesim_tpu.ops.rasterize import (
     prep_sorted_prim_coefs, sort_prims_rowmajor_with_masks)
 
+from torchdrivesim_tpu.ops.pallas_rasterize import band_rows
+
 SENT = 0x7FFFFFFF
-RES, CAP, N_BANDS, CHUNK = 128, 56, 4, 8
+RES, CAP, CHUNK = 128, 56, 8
+N_BANDS = RES // band_rows(RES)   # tile-size dependent (TDS_PIXELS_PER_TILE)
 
 
 def _scene(seed, b, q, t, degenerate=False, ties=True):

@@ -32,7 +32,9 @@ from torchdrivesim_tpu.ops.pallas_warp import (
 )
 
 B = int(os.environ.get('PW_BATCH', 256))
-STEPS = 50
+#: 1000-step scans cut the per-fetch tunnel overhead to ~0.006 ms/step
+#: (the 50-step default carried ~0.6 ms/step and made deltas unusable)
+STEPS = int(os.environ.get('PW_STEPS', 1000))
 CAMS = 4
 
 
@@ -74,6 +76,15 @@ def _variant_view(fcoef_ref, icoef_ref, c, window_ref, dma, tmp_ref,
             window_ref[:, :], h_idx_on((WIN_ROWS, RES), WINDOW))
     if mode == 'pass1only':
         return tmp_ref[0:WIN_ROWS, :]
+
+    if mode == 'subgather':
+        # pass 2 as ONE sublane-directed gather: midT + lane-gather +
+        # finalT == take_along_axis(tmp, v, axis=0); if Mosaic lowers this
+        # well it deletes both (128,128) transposes (~0.087 ms/step)
+        v_idx = jnp.floor(va * rows + vb * cols + vc + 0.5).astype(jnp.int32)
+        packed = jnp.take_along_axis(
+            tmp_ref[0:WIN_ROWS, :], jnp.clip(v_idx, 0, WIN_ROWS - 1), axis=0)
+        return jnp.where(valid, packed, bg_packed)
 
     if mode == 'nomidT':
         table = tmp_ref[0:WIN_ROWS, :]        # WRONG pixels; timing only

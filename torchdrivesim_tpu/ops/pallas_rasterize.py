@@ -35,10 +35,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 BIG_Z = 1e9
 #: pixels per kernel program; large tiles amortize per-program overhead
-#: (VMEM use ~ 4 * F * PIXELS_PER_TILE bytes for the edge matrices)
-PIXELS_PER_TILE = 4096
+#: (VMEM use ~ 4 * F * PIXELS_PER_TILE bytes for the edge matrices).
+#: Env-overridable for band-granularity sweeps: smaller tiles mean finer
+#: bands (band_rows = tile/res), so the occupancy masks cull prim math to
+#: fewer wasted pixels at the cost of more branch checks.
+PIXELS_PER_TILE = int(os.environ.get('TDS_PIXELS_PER_TILE', '4096'))
 #: faces per inner kernel iteration: bounds live VMEM intermediates to
 #: (FACE_CHUNK, PIXELS_PER_TILE) so arbitrarily large face sets (e.g. a full
 #: uncculled map mesh) fit; face counts <= FACE_CHUNK skip the loop entirely
