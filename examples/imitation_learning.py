@@ -10,6 +10,7 @@ T kinematic steps AND T differentiable BEV renders in one `jax.lax.scan`
 used instead of the INTERACTION dataset, so the example runs out of the box.
 """
 import argparse
+import functools
 import os
 import sys
 import time
@@ -26,7 +27,7 @@ from torchdrivesim_tpu.models import BirdviewCNNPolicy
 from torchdrivesim_tpu.rendering import JaxRendererConfig
 from torchdrivesim_tpu.rendering.base import Cameras
 from torchdrivesim_tpu.simulator import Simulator, TorchDriveConfig
-from torchdrivesim_tpu.utils import Resolution
+from torchdrivesim_tpu.utils import Resolution, il_remat_policy
 
 
 def build_synthetic_batch(batch_size: int, horizon: int, seed: int = 0):
@@ -92,7 +93,7 @@ def make_bc_train_step(sim, policy, tx, res: int, teacher_forcing: bool = False)
     def loss_fn(params, state0, expert):
         # rematerialize each step on the backward pass: live activations for
         # the whole horizon (render + CNN) can exceed HBM on long rollouts
-        @jax.checkpoint
+        @functools.partial(jax.checkpoint, policy=il_remat_policy())
         def body(state, target):
             image = render_ego(state)
             action = policy.apply(params, image)[:, None, :]  # B x 1 x Ac

@@ -64,3 +64,58 @@ def test_bc_training_reduces_loss():
         f"(trajectory {np.round(losses, 4).tolist()})")
     # and the improvement must be monotonic-ish, not a lucky last step
     assert float(np.mean(losses[-5:])) < float(np.mean(losses[:5])), losses
+
+
+def test_il_remat_policy_gradients_match_plain_remat():
+    """`utils.il_remat_policy` (saves the named render-kernel outputs
+    across the rematerialized scan body) must not change gradients vs
+    plain `jax.checkpoint` -- only the recompute schedule (f32
+    reassociation tolerance)."""
+    import functools
+
+    from torchdrivesim_tpu.benchmark import build_benchmark_scenario
+    from torchdrivesim_tpu.models import BirdviewCNNPolicy
+    from torchdrivesim_tpu.rendering.base import Cameras
+    from torchdrivesim_tpu.utils import Resolution, il_remat_policy
+
+    b, horizon, res = 2, 3, 64
+    sc = build_benchmark_scenario(batch_size=b, agent_count=4, res=res)
+    sim = sc.sim
+    sim.renderer.cfg.differentiable = True
+    gen = sim.birdview_mesh_generator
+    renderer = sim.renderer
+    policy = BirdviewCNNPolicy(action_size=2, features=(4, 8))
+    params = policy.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, res, res)))
+
+    def render_ego(state):
+        all_state = jnp.concatenate([state.agent_state, state.npc_state], -2)
+        present = jnp.concatenate(
+            [state.present_mask, state.npc_present_mask], -1)
+        mesh = gen.generate(1, all_state[:, None], present[:, None],
+                            include_background=False)
+        ego = state.agent_state[:, 0]
+        cam_xy = ego[:, :2]
+        cam_sc = jnp.stack([jnp.sin(ego[:, 2]), jnp.cos(ego[:, 2])], -1)
+        return renderer.render_rgb_mesh_chw(
+            mesh, Resolution(res, res), Cameras(cam_xy, cam_sc, 2.0 / 70))
+
+    def make_loss(pol):
+        ckpt = jax.checkpoint if pol is None else \
+            functools.partial(jax.checkpoint, policy=pol)
+
+        def loss_fn(params, state):
+            @ckpt
+            def body(s, _):
+                image = render_ego(s)
+                act = policy.apply(params, image)
+                action = jnp.zeros((b, 4, 2)).at[:, 0].set(act)
+                return sim.functional_step(s, action), None
+            final, _ = jax.lax.scan(body, state, None, length=horizon)
+            return jnp.mean(final.agent_state[:, 0, :2] ** 2)
+        return loss_fn
+
+    g_plain = jax.grad(make_loss(None))(params, sim.state)
+    g_pol = jax.grad(make_loss(il_remat_policy()))(params, sim.state)
+    for a, c in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_pol)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-3, atol=1e-7)

@@ -13,6 +13,7 @@ Variants timed (each jitted separately, warmed up to a value fetch):
   norender: grad with the render replaced by a zeros image
            -> render fwd+bwd = grad - norender
 """
+import functools
 import os
 import sys
 import time
@@ -27,6 +28,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/tds_tpu_jax_cache")
 
 from torchdrivesim_tpu.benchmark import build_benchmark_scenario, sync_pin
 from torchdrivesim_tpu.models import BirdviewCNNPolicy
+from torchdrivesim_tpu.utils import il_remat_policy
 from torchdrivesim_tpu.rendering.base import Cameras
 from torchdrivesim_tpu.utils import Resolution
 
@@ -59,7 +61,7 @@ def main():
 
     def make_loss(use_policy=True, use_render=True):
         def loss_fn(params, state):
-            @jax.checkpoint
+            @functools.partial(jax.checkpoint, policy=il_remat_policy())
             def body(s, _):
                 if use_render:
                     image = render_ego(s)

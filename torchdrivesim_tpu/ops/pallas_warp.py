@@ -619,10 +619,17 @@ def warp_background_diff(mip: Grid2D, cam_xy: jnp.ndarray,
     # custom_vjp function -- under jit, even constant jnp math stages as a
     # tracer, and a tracer captured by the closure escapes the trace when
     # the bwd runs (UnexpectedTracerError under jax.checkpoint).
+    from jax.ad_checkpoint import checkpoint_name
+
     @jax.custom_vjp
     def core(cxy, csc, bg):
-        return warp_background_bilinear(mip, cxy, csc, scale, bg,
-                                        left_handed=left_handed, res=res)
+        out = warp_background_bilinear(mip, cxy, csc, scale, bg,
+                                       left_handed=left_handed, res=res)
+        # named INSIDE the custom_vjp so a `jax.checkpoint` policy saving
+        # 'tds_bg_warp' saves the very tensor the VJP keeps as its residual
+        # -- naming outside would save a copy while the residual (and so
+        # the kernel re-run) stayed on the remat path (utils.il_remat_policy)
+        return checkpoint_name(out, 'tds_bg_warp')
 
     def fwd(cxy, csc, bg):
         out = core(cxy, csc, bg)

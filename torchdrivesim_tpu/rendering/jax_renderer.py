@@ -365,6 +365,9 @@ class JaxRenderer(BirdviewRenderer):
             if mip is not None and diff_fast:
                 from torchdrivesim_tpu.ops.pallas_warp import (
                     warp_background_diff)
+                # the warp output is checkpoint_name'd 'tds_bg_warp' INSIDE
+                # its custom_vjp so `utils.il_remat_policy` saves the VJP
+                # residual itself (no kernel re-run on the backward sweep)
                 background = warp_background_diff(
                     mip, cam_xy, cam_sc, scale, bg_color,
                     left_handed=self.cfg.left_handed_coordinates, res=size)
@@ -433,6 +436,12 @@ class JaxRenderer(BirdviewRenderer):
                     image = rasterize_soft(sv, faces, attrs, size,
                                            background,
                                            sigma=self.cfg.soft_sigma)
+                from jax.ad_checkpoint import checkpoint_name
+                # named so remat policies can save the rendered frame (the
+                # consumer's -- e.g. a policy CNN's -- VJP needs it, and
+                # saving it keeps the soft kernel forward out of the
+                # backward pass); 40 steps of (B, 3, 64, 64) is ~30 MB
+                image = checkpoint_name(image, 'tds_soft_image')
                 return jnp.transpose(image, (0, 3, 1, 2)) * 255.0
             if use_pallas:
                 from torchdrivesim_tpu.ops.pallas_rasterize import (
