@@ -1,5 +1,7 @@
 """Parity of the Pallas soft (differentiable) rasterizer against the XLA
 softmax-blend reference — values AND gradients, in interpreter mode."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -180,3 +182,29 @@ def test_empty_faces_returns_background():
     out = rasterize_softmax_pallas(verts, faces, attrs, res, bg,
                                    interpret=True)
     np.testing.assert_allclose(np.asarray(out), 0.4)
+
+
+@pytest.mark.depends_on_tpu
+def test_grouped_soft_compiled_matches_reference_on_tpu():
+    """The Mosaic-COMPILED grouped kernels (forward + full backward) must
+    match the XLA softmax reference on real hardware -- interpret mode
+    accepted an SMEM layout the hardware rejects (trailing (3, 3) window
+    dims pad to whole tiles, ~1 MB/buffer at 128 faces), so this is the
+    check that actually certifies the >128-face path. Runs the
+    certification tool in a subprocess with the real TPU backend (the
+    pytest session itself is pinned to CPU by conftest)."""
+    import json
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "TDS_PLATFORM")}
+    tool = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "tools", "certify_soft_grouped.py")
+    proc = subprocess.run([sys.executable, tool, "correctness"],
+                          capture_output=True, text=True, timeout=1200,
+                          env=env)
+    assert proc.returncode == 0, proc.stderr[-500:]
+    rows = [json.loads(l) for l in proc.stdout.splitlines()
+            if l.startswith("{")]
+    assert rows and rows[0]["ok"], rows

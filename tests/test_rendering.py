@@ -151,3 +151,55 @@ def test_prep_fallback_warns_once(caplog):
             if 'permutation-prep fallback' in r.getMessage()]
     assert len(msgs) == 1
     assert '130' in msgs[0].getMessage()
+
+
+def test_diff_mode_res100_pad_and_crop(monkeypatch):
+    """Differentiable render at res 100 takes the Pallas soft path via
+    pad-to-112-and-crop (VERDICT r4 item 6): pixel AND gradient parity vs
+    the direct XLA softmax reference at res 100. Gradients of a crop are
+    exact and softmax blending is per-pixel, so the only differences are
+    kernel-vs-XLA float reassociation."""
+    import functools
+
+    import jax
+
+    import torchdrivesim_tpu.ops.pallas_soft as PS
+    import torchdrivesim_tpu.rendering.jax_renderer as jr
+
+    mesh = _agent_scene()
+    cam_xy = jnp.asarray([[0.4, -0.3]])
+    cam_sc = jnp.asarray([[0.3, 0.954]])
+
+    ref_r = renderer_from_config(
+        JaxRendererConfig(use_pallas=False, differentiable=True),
+        res=Resolution(100, 100), fov=35)
+
+    monkeypatch.setattr(jr, '_on_tpu', lambda: True)
+    monkeypatch.setattr(PS.pl, 'pallas_call',
+                        functools.partial(PS.pl.pallas_call, interpret=True))
+    pal_r = renderer_from_config(
+        JaxRendererConfig(use_pallas=True, differentiable=True),
+        res=Resolution(100, 100), fov=35)
+    assert pal_r._pad_res_target(100) == 112          # the lifted diff gate
+
+    ref = np.asarray(ref_r.render_frame(mesh, cam_xy, cam_sc))
+    got = np.asarray(pal_r.render_frame(mesh, cam_xy, cam_sc))
+    assert got.shape == (1, 3, 100, 100)
+    np.testing.assert_allclose(got, ref, atol=0.2)    # [0, 255] scale
+
+    w = jnp.asarray(np.random.RandomState(0).rand(1, 3, 100, 100),
+                    jnp.float32)
+
+    def loss_of(renderer):
+        return lambda cxy: jnp.sum(
+            renderer.render_frame(mesh, cxy, cam_sc) * w)
+
+    g_ref = np.asarray(jax.grad(loss_of(ref_r))(cam_xy))
+    g_pal = np.asarray(jax.grad(loss_of(pal_r))(cam_xy))
+    assert np.all(np.isfinite(g_pal)) and np.abs(g_pal).max() > 0
+    # 3e-2: the softmax blend's z-weights amplify last-ulp coordinate
+    # differences ~1e15x in the sigmoid tails; an XLA-vs-XLA control of
+    # the SAME pad-and-crop (no Pallas anywhere) already differs from the
+    # direct render by 1.03e-2 relative on this scene, so this tolerance
+    # is the formulation's float noise, not kernel error
+    np.testing.assert_allclose(g_pal, g_ref, rtol=3e-2, atol=3e-2)

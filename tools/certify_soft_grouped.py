@@ -1,0 +1,148 @@
+"""Certify the GROUPED soft-rasterizer path on real TPU hardware
+(VERDICT r4 item 4): the round-4 cap-lift (any face count via MAX_FACES
+groups, any res*res % 128 == 0) had interpret-mode gradient-parity tests
+but no on-hardware evidence that the Mosaic-compiled grouped kernels
+(a) beat the XLA fallback and (b) match interpret mode.
+
+Runs two checks and prints one JSON line each:
+
+1. correctness: compiled grouped forward + full backward (verts, attrs,
+   background) vs interpret mode on a small >128-face scene.
+2. bench: fwd+bwd step time of the grouped Pallas path vs the XLA
+   softmax fallback on a 200-face res-96 diff render at batch 16 (an
+   IL-shaped workload with the road mesh included in the face set).
+
+Usage (TPU): python tools/certify_soft_grouped.py
+"""
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/tds_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+from torchdrivesim_tpu.ops.pallas_soft import rasterize_softmax_pallas
+from torchdrivesim_tpu.ops.rasterize import rasterize_softmax
+
+RES = int(os.environ.get("SG_RES", "96"))
+N_TRI = int(os.environ.get("SG_TRIS", "200"))      # > MAX_FACES => 2 groups
+B = int(os.environ.get("SG_BATCH", "16"))
+REPS = int(os.environ.get("SG_REPS", "30"))
+
+
+def scene(seed, b, n_tri, res):
+    rng = np.random.RandomState(seed)
+    verts = np.concatenate([
+        rng.uniform(-10, res + 10, (b, n_tri * 3, 2)),
+        rng.uniform(2, 15, (b, n_tri * 3, 1)),
+    ], axis=-1).astype(np.float32)
+    for fi in range(n_tri):
+        verts[:, fi * 3:(fi + 1) * 3, 2] = verts[:, fi * 3:fi * 3 + 1, 2]
+    faces = np.tile(np.arange(n_tri * 3, dtype=np.int32).reshape(1, n_tri, 3),
+                    (b, 1, 1))
+    attrs = np.repeat(rng.uniform(0, 1, (b, n_tri, 1, 3)), 3, axis=2)
+    attrs = attrs.reshape(b, n_tri * 3, 3).astype(np.float32)
+    bg = rng.uniform(0, 1, (b, res, res, 3)).astype(np.float32)
+    w = rng.uniform(0, 1, (b, res, res, 3)).astype(np.float32)
+    return (jnp.asarray(verts), jnp.asarray(faces), jnp.asarray(attrs),
+            jnp.asarray(bg), jnp.asarray(w))
+
+
+def loss_fn(raster, verts, faces, attrs, bg, w):
+    return jnp.sum(raster(verts, faces, attrs, bg) * w)
+
+
+def fetch(x):
+    return float(jnp.sum(jnp.asarray(jax.tree.leaves(x)[0])))
+
+
+def correctness():
+    # reference = the XLA softmax rasterizer (the same math the interpret
+    # tests pin on CPU; interpret mode on the tunneled TPU compiles for
+    # tens of minutes, so the on-hardware check compares compiled-grouped
+    # against XLA directly)
+    verts, faces, attrs, bg, w = scene(1, 2, 150, RES)
+
+    def run(use_pallas):
+        def raster(v, f_, a, b_):
+            if use_pallas:
+                return rasterize_softmax_pallas(v, f_, a, RES, b_)
+            return rasterize_softmax(v, f_, a, RES, b_)
+        f = jax.jit(jax.value_and_grad(
+            lambda v, a, b_: loss_fn(raster, v, faces, a, b_, w),
+            argnums=(0, 1, 2)))
+        val, grads = f(verts, attrs, bg)
+        return float(val), [np.asarray(g) for g in grads]
+
+    v_c, g_c = run(True)        # Mosaic-compiled grouped kernels
+    v_i, g_i = run(False)       # XLA softmax reference, on-device
+    rel_v = abs(v_c - v_i) / max(abs(v_i), 1e-9)
+    rels = []
+    for a, b_ in zip(g_c, g_i):
+        denom = max(float(np.abs(b_).max()), 1e-9)
+        rels.append(float(np.abs(a - b_).max()) / denom)
+    ok = rel_v < 1e-4 and all(r < 5e-3 for r in rels)
+    print(json.dumps({
+        "check": "grouped_soft_compiled_vs_xla_on_tpu",
+        "faces": 150, "res": RES, "loss_rel_err": round(rel_v, 8),
+        "grad_max_rel_err": [round(r, 6) for r in rels],
+        "ok": bool(ok)}), flush=True)
+    return ok
+
+
+def bench():
+    verts, faces, attrs, bg, w = scene(0, B, N_TRI, RES)
+
+    def timed(raster_name, raster):
+        f = jax.jit(jax.grad(
+            lambda v: loss_fn(raster, v, faces, attrs, bg, w)))
+        for _ in range(3):
+            g = f(verts)
+            fetch(g)                      # warmup must end in a value fetch
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            g = f(verts)
+        fetch(g)
+        return (time.perf_counter() - t0) / REPS * 1e3
+
+    pallas_ms = timed(
+        "pallas", lambda v, f_, a, b_: rasterize_softmax_pallas(
+            v, f_, a, RES, b_))
+    xla_ms = timed(
+        "xla", lambda v, f_, a, b_: rasterize_softmax(v, f_, a, RES, b_))
+    print(json.dumps({
+        "check": "grouped_soft_fwd_bwd_bench",
+        "batch": B, "faces": N_TRI, "res": RES,
+        "pallas_grouped_ms": round(pallas_ms, 3),
+        "xla_fallback_ms": round(xla_ms, 3),
+        "speedup": round(xla_ms / pallas_ms, 2)}), flush=True)
+    return pallas_ms < xla_ms
+
+
+def main():
+    from torchdrivesim_tpu.benchmark import sync_pin
+    sync_pin()
+    which = sys.argv[1:] or ['correctness', 'bench']
+    ok = correctness() if 'correctness' in which else True
+    faster = bench() if 'bench' in which else True
+    if not ok:
+        print("FAIL: compiled grouped kernels drift from interpret mode",
+              file=sys.stderr)
+        return 1
+    if not faster:
+        print("WARN: grouped Pallas path not faster than XLA fallback here",
+              file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -117,9 +117,17 @@ def _pixel_grids(res):
 
 
 def _accumulate_face(coef_ref, zw_ref, c, f, px, py):
-    """Per-face forward quantities on the pixel tile."""
-    t = [coef_ref[c, f, e, 0] * px + coef_ref[c, f, e, 1] * py
-         + coef_ref[c, f, e, 2] for e in range(3)]
+    """Per-face forward quantities on the pixel tile.
+
+    ``coef_ref`` is the FLATTENED (cams, 1, n_faces * 9) SMEM view: Mosaic
+    pads each trailing SMEM window dim to a full tile, so the natural
+    (cams, F, 3, 3) layout inflates to ~1 MB per buffer at F = 128 and
+    overflows the 1 MB SMEM budget (caught on real hardware by
+    tools/certify_soft_grouped.py; interpret mode accepted it silently).
+    """
+    t = [coef_ref[c, 0, f * 9 + e * 3 + 0] * px
+         + coef_ref[c, 0, f * 9 + e * 3 + 1] * py
+         + coef_ref[c, 0, f * 9 + e * 3 + 2] for e in range(3)]
     # manual logistic: jax.nn.sigmoid lowers ~6x slower through Mosaic
     s = [1.0 / (1.0 + jnp.exp(-te)) for te in t]
     big_s = s[0] * s[1] * s[2]
@@ -141,7 +149,7 @@ def _soft_fwd_kernel(coef_ref, zw_ref, col_ref, bg_ref, out_ref,
                 coef_ref, zw_ref, c, f, px, py)
             w = alpha * zw_ref[c, 0, f]
             for ch in range(3):
-                num[ch] = num[ch] + w * col_ref[c, f, ch]
+                num[ch] = num[ch] + w * col_ref[c, 0, f * 3 + ch]
             den = den + w
             transp = transp * (1.0 - alpha)
         inv_den = 1.0 / jnp.maximum(den, 1e-8)
@@ -173,7 +181,7 @@ def _soft_bwd_kernel(coef_ref, zw_ref, col_ref, bg_ref, g_ref,
             prefix_ref[f] = transp
             w = alpha * zw_ref[c, 0, f]
             for ch in range(3):
-                num[ch] = num[ch] + w * col_ref[c, f, ch]
+                num[ch] = num[ch] + w * col_ref[c, 0, f * 3 + ch]
             den = den + w
             transp = transp * (1.0 - alpha)
 
@@ -201,9 +209,9 @@ def _soft_bwd_kernel(coef_ref, zw_ref, col_ref, bg_ref, g_ref,
             alpha = alpha_ref[f]
             except_f = prefix_ref[f] * suffix
             suffix = suffix * (1.0 - alpha)
-            dl_dw = (p_ch[0] * col_ref[c, f, 0]
-                     + p_ch[1] * col_ref[c, f, 1]
-                     + p_ch[2] * col_ref[c, f, 2] + q)
+            dl_dw = (p_ch[0] * col_ref[c, 0, f * 3 + 0]
+                     + p_ch[1] * col_ref[c, 0, f * 3 + 1]
+                     + p_ch[2] * col_ref[c, 0, f * 3 + 2] + q)
             dl_dalpha = zw_ref[c, 0, f] * dl_dw + dl_da * except_f
             t, s, big_s, tmin, window, _ = _accumulate_face(
                 coef_ref, zw_ref, c, f, px, py)
@@ -230,18 +238,19 @@ def _pallas_soft_fwd(coef, zw, color, background, *, res, cams, interpret):
     b, _, n_faces = zw.shape
     rows = (res * res) // 128
     cam_idx4 = lambda i: (i, 0, 0, 0)
-    cam_idx3 = lambda i: (i, 0, 0)
+    # SMEM operands ride FLATTENED to 2D (see _accumulate_face): trailing
+    # window dims pad to whole tiles in SMEM, so (F, 3, 3) would cost
+    # ~1 MB per buffer at F = 128
+    smem2 = lambda n: pl.BlockSpec((cams, 1, n), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         functools.partial(_soft_fwd_kernel, n_faces=n_faces, res=res,
                           cams=cams),
         grid=(b // cams,),
         in_specs=[
-            pl.BlockSpec((cams, n_faces, 3, 3), cam_idx4,
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((cams, 1, n_faces), cam_idx3,
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((cams, n_faces, 3), cam_idx3,
-                         memory_space=pltpu.SMEM),
+            smem2(n_faces * 9),
+            smem2(n_faces),
+            smem2(n_faces * 3),
             pl.BlockSpec((cams, 3, rows, 128), cam_idx4,
                          memory_space=pltpu.VMEM),
         ],
@@ -251,7 +260,9 @@ def _pallas_soft_fwd(coef, zw, color, background, *, res, cams, interpret):
         # interpret=False is omitted (not passed) so tests that monkeypatch
         # pl.pallas_call with functools.partial(..., interpret=True) work
         **({'interpret': True} if interpret else {}),
-    )(coef, zw, color, background.reshape(b, 3, rows, 128))
+    )(coef.reshape(b, 1, n_faces * 9), zw.reshape(b, 1, n_faces),
+      color.reshape(b, 1, n_faces * 3),
+      background.reshape(b, 3, rows, 128))
     return out.reshape(b, 3, res, res)
 
 
@@ -260,18 +271,16 @@ def _pallas_soft_bwd(coef, zw, color, background, g, *, res, cams,
     b, _, n_faces = zw.shape
     rows = (res * res) // 128
     cam_idx4 = lambda i: (i, 0, 0, 0)
-    cam_idx3 = lambda i: (i, 0, 0)
+    smem2 = lambda n: pl.BlockSpec((cams, 1, n), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.SMEM)
     grow, gbg = pl.pallas_call(
         functools.partial(_soft_bwd_kernel, n_faces=n_faces, res=res,
                           cams=cams),
         grid=(b // cams,),
         in_specs=[
-            pl.BlockSpec((cams, n_faces, 3, 3), cam_idx4,
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((cams, 1, n_faces), cam_idx3,
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((cams, n_faces, 3), cam_idx3,
-                         memory_space=pltpu.SMEM),
+            smem2(n_faces * 9),
+            smem2(n_faces),
+            smem2(n_faces * 3),
             pl.BlockSpec((cams, 3, rows, 128), cam_idx4,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cams, 3, rows, 128), cam_idx4,
@@ -292,8 +301,9 @@ def _pallas_soft_bwd(coef, zw, color, background, g, *, res, cams,
             pltpu.VMEM((n_faces, rows, 128), jnp.float32),
         ],
         **({'interpret': True} if interpret else {}),
-    )(coef, zw, color, background.reshape(b, 3, rows, 128),
-      g.reshape(b, 3, rows, 128))
+    )(coef.reshape(b, 1, n_faces * 9), zw.reshape(b, 1, n_faces),
+      color.reshape(b, 1, n_faces * 3),
+      background.reshape(b, 3, rows, 128), g.reshape(b, 3, rows, 128))
     sums = jnp.sum(grow, axis=-1)                     # (B, F, 13)
     gcoef = sums[..., :9].reshape(b, n_faces, 3, 3)
     gzw = sums[..., 9][:, None, :]                    # matches zw (B, 1, F)
@@ -360,7 +370,7 @@ def _accum_fwd_kernel(coef_ref, zw_ref, col_ref, num_ref, den_ref,
                 coef_ref, zw_ref, c, f, px, py)
             w = alpha * zw_ref[c, 0, f]
             for ch in range(3):
-                num[ch] = num[ch] + w * col_ref[c, f, ch]
+                num[ch] = num[ch] + w * col_ref[c, 0, f * 3 + ch]
             den = den + w
             transp = transp * (1.0 - alpha)
         for ch in range(3):
@@ -405,8 +415,9 @@ def _accum_bwd_kernel(coef_ref, zw_ref, col_ref, gnum_ref, gden_ref,
             alpha = alpha_ref[f]
             except_f = prefix_ref[f] * suffix
             suffix = suffix * (1.0 - alpha)
-            dl_dw = (g[0] * col_ref[c, f, 0] + g[1] * col_ref[c, f, 1]
-                     + g[2] * col_ref[c, f, 2] + gden)
+            dl_dw = (g[0] * col_ref[c, 0, f * 3 + 0]
+                     + g[1] * col_ref[c, 0, f * 3 + 1]
+                     + g[2] * col_ref[c, 0, f * 3 + 2] + gden)
             # d transp / d alpha_f = -prod_{f' != f} (1 - alpha_f')
             dl_dalpha = zw_ref[c, 0, f] * dl_dw - gtr * except_f
             t, s, big_s, tmin, window, _ = _accumulate_face(
@@ -435,18 +446,16 @@ def _pallas_accum_fwd(coef, zw, color, *, res, cams, interpret):
     b, _, n_faces = zw.shape
     rows = (res * res) // 128
     band = _band_rows_flat(res)
-    smem4 = lambda shp: pl.BlockSpec(shp, lambda i, j: (i, 0, 0, 0),
-                                     memory_space=pltpu.SMEM)
-    smem3 = lambda shp: pl.BlockSpec(shp, lambda i, j: (i, 0, 0),
-                                     memory_space=pltpu.SMEM)
+    smem2 = lambda n: pl.BlockSpec((cams, 1, n), lambda i, j: (i, 0, 0),
+                                   memory_space=pltpu.SMEM)
     num, den, transp = pl.pallas_call(
         functools.partial(_accum_fwd_kernel, n_faces=n_faces, res=res,
                           band=band, cams=cams),
         grid=(b // cams, rows // band),
         in_specs=[
-            smem4((cams, n_faces, 3, 3)),
-            smem3((cams, 1, n_faces)),
-            smem3((cams, n_faces, 3)),
+            smem2(n_faces * 9),
+            smem2(n_faces),
+            smem2(n_faces * 3),
         ],
         out_specs=[
             pl.BlockSpec((cams, 3, band, 128), lambda i, j: (i, 0, j, 0),
@@ -462,7 +471,8 @@ def _pallas_accum_fwd(coef, zw, color, *, res, cams, interpret):
             jax.ShapeDtypeStruct((b, rows, 128), jnp.float32),
         ],
         **({'interpret': True} if interpret else {}),
-    )(coef, zw, color)
+    )(coef.reshape(b, 1, n_faces * 9), zw.reshape(b, 1, n_faces),
+      color.reshape(b, 1, n_faces * 3))
     return num, den, transp
 
 
@@ -471,18 +481,16 @@ def _pallas_accum_bwd(coef, zw, color, gnum, gden, gtransp, *, res, cams,
     b, _, n_faces = zw.shape
     rows = (res * res) // 128
     band = _band_rows_flat(res)
-    smem4 = lambda shp: pl.BlockSpec(shp, lambda i, j: (i, 0, 0, 0),
-                                     memory_space=pltpu.SMEM)
-    smem3 = lambda shp: pl.BlockSpec(shp, lambda i, j: (i, 0, 0),
-                                     memory_space=pltpu.SMEM)
+    smem2 = lambda n: pl.BlockSpec((cams, 1, n), lambda i, j: (i, 0, 0),
+                                   memory_space=pltpu.SMEM)
     grow = pl.pallas_call(
         functools.partial(_accum_bwd_kernel, n_faces=n_faces, res=res,
                           band=band, cams=cams),
         grid=(b // cams, rows // band),
         in_specs=[
-            smem4((cams, n_faces, 3, 3)),
-            smem3((cams, 1, n_faces)),
-            smem3((cams, n_faces, 3)),
+            smem2(n_faces * 9),
+            smem2(n_faces),
+            smem2(n_faces * 3),
             pl.BlockSpec((cams, 3, band, 128), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cams, band, 128), lambda i, j: (i, j, 0),
@@ -500,7 +508,8 @@ def _pallas_accum_bwd(coef, zw, color, gnum, gden, gtransp, *, res, cams,
             pltpu.VMEM((n_faces, band, 128), jnp.float32),
         ],
         **({'interpret': True} if interpret else {}),
-    )(coef, zw, color, gnum, gden, gtransp)
+    )(coef.reshape(b, 1, n_faces * 9), zw.reshape(b, 1, n_faces),
+      color.reshape(b, 1, n_faces * 3), gnum, gden, gtransp)
     sums = jnp.sum(grow, axis=-1)                     # (B, F, 13)
     gcoef = sums[..., :9].reshape(b, n_faces, 3, 3)
     gzw = sums[..., 9][:, None, :]                    # matches zw (B, 1, F)

@@ -229,19 +229,31 @@ class JaxRenderer(BirdviewRenderer):
                              check_vma=False)
 
     def _pad_res_target(self, size: int) -> Optional[int]:
-        """Padded fast-path resolution for a hard-mode size with no
-        whole-vreg band tiling (e.g. 100): render at the next multiple of
-        16 at the SAME pixels-per-meter with the camera shifted so the
-        top-left ``size`` x ``size`` crop is exactly the requested view
-        (matching `torchdrivesim/rendering/base.py:167-204`, where every
-        square res takes a fast backend). None when the size is already
-        supported or the fast path is off."""
+        """Padded fast-path resolution for a size the Pallas kernels can't
+        tile directly (e.g. 100): render at the next multiple of 16 at the
+        SAME pixels-per-meter with the camera shifted so the top-left
+        ``size`` x ``size`` crop is exactly the requested view (matching
+        `torchdrivesim/rendering/base.py:167-204`, where every square res
+        takes a fast backend). Applies in BOTH hard mode (band-tiling
+        constraint, `supports_res`) and differentiable mode (soft-kernel
+        pixel constraint, `supports_soft`; gradients of a crop are exact,
+        and softmax blending is per-pixel so cropped pixels match the
+        direct render bit-for-bit). None when the size is already served
+        or the fast path is off."""
         from torchdrivesim_tpu.ops.pallas_rasterize import supports_res
-        if (not self.cfg.use_pallas or self.cfg.differentiable
-                or not _on_tpu() or size < 4 or supports_res(size)):
+        if not self.cfg.use_pallas or not _on_tpu() or size < 4:
+            return None
+        if self.cfg.differentiable:
+            from torchdrivesim_tpu.ops.pallas_soft import supports_soft
+            served = supports_soft(0, size)
+            ok = lambda r: supports_soft(0, r)
+        else:
+            served = supports_res(size)
+            ok = supports_res
+        if served:
             return None
         pad = -(-size // 16) * 16
-        return pad if supports_res(pad) else None
+        return pad if ok(pad) else None
 
     def _pad_cameras(self, cameras: Cameras, size: int, pad_to: int
                      ) -> Cameras:
@@ -621,18 +633,24 @@ class JaxRenderer(BirdviewRenderer):
                 if mip_k is not None:
                     # fused kernel: warp + rasterize + composite in one
                     # program, no background HBM round trip (bit-exact vs
-                    # the split path). Operand prep goes through the
-                    # permutation-matmul path (no multi-operand sort, no
-                    # stack/unstack layout copies) whenever the prim count
-                    # fits the band budget; TDS_PREP=sort forces the
-                    # lax.sort path for A/B timing.
+                    # the split path). Operand prep defaults by LOCAL
+                    # batch size: the permutation-matmul prep (no
+                    # multi-operand sort, no stack/unstack layout copies)
+                    # wins below ~512 cameras (headline B=256: 293k vs
+                    # 253k) but its O(B N^2) rank + byte-plane matmuls
+                    # lose to the sort at B=1024 (RL config: 388k vs
+                    # 441k). TDS_PREP=permute|sort overrides for A/B.
                     from torchdrivesim_tpu.ops.pallas_fused import (
                         _CHUNK as prim_chunk, render_coefs_fused_pallas,
                         render_prims_fused_pallas)
                     from torchdrivesim_tpu.ops.rasterize import (
                         prep_sorted_prim_coefs)
                     prep = None
-                    if os.environ.get('TDS_PREP') != 'sort':
+                    prep_mode = os.environ.get('TDS_PREP', 'auto')
+                    if prep_mode == 'auto':
+                        prep_mode = 'permute' if qz_l.shape[0] <= 512 \
+                            else 'sort'
+                    if prep_mode != 'sort':
                         prep = prep_sorted_prim_coefs(
                             sq, qz_l, qcol_l, st, tz_l, tcol_l, size_k,
                             cap, n_bands, chunk=prim_chunk)
