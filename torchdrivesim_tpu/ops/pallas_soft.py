@@ -61,6 +61,27 @@ def _band_rows_flat(res: int) -> int:
     return best
 
 
+def _band_plan(res: int):
+    """(padded flat rows, band rows) for the grouped kernels' pixel grid.
+
+    Mosaic requires each block's second-minor dim to be divisible by 8 or
+    equal to the full array dim. A flat row count like 50 (res 80) has no
+    such divisor under the band budget (measured reject on hardware --
+    tools/certify_compile_matrix.py), so the pixel space is padded to a
+    multiple of 8 rows: padded pixels compute garbage that is sliced off
+    (forward) or driven by zero cotangents (backward)."""
+    rows = (res * res) // 128
+    band = _band_rows_flat(res)
+    if band == rows or band % 8 == 0:
+        return rows, band
+    rows_pad = -(-rows // 8) * 8
+    band = 8
+    for d in range(8, min(rows_pad, _MAX_BAND_ROWS) + 1, 8):
+        if rows_pad % d == 0:
+            band = d
+    return rows_pad, band
+
+
 def supports_soft(n_faces: int, res: int) -> bool:
     """Whether the Pallas soft-raster fast path serves this shape: any face
     count (grouped into MAX_FACES-face kernel calls) at any resolution whose
@@ -128,8 +149,14 @@ def _accumulate_face(coef_ref, zw_ref, c, f, px, py):
     t = [coef_ref[c, 0, f * 9 + e * 3 + 0] * px
          + coef_ref[c, 0, f * 9 + e * 3 + 1] * py
          + coef_ref[c, 0, f * 9 + e * 3 + 2] for e in range(3)]
-    # manual logistic: jax.nn.sigmoid lowers ~6x slower through Mosaic
-    s = [1.0 / (1.0 + jnp.exp(-te)) for te in t]
+    # manual logistic: jax.nn.sigmoid lowers ~6x slower through Mosaic.
+    # The argument is CLAMPED to +-30 (where f32 sigmoid saturates exactly)
+    # because XLA may rewrite 1/(1+exp(-t)) as exp(t)/(1+exp(t)), which is
+    # inf/inf = NaN once exp(t) overflows -- observed polluting whole pixel
+    # bands when padded far-out pixels push |t| past ~88 (the rewrite
+    # applies per fused tile, so the NaN surfaced only for some band
+    # shapes; tools/certify_compile_matrix.py / res 80 grouped)
+    s = [1.0 / (1.0 + jnp.exp(-jnp.clip(te, -30.0, 30.0))) for te in t]
     big_s = s[0] * s[1] * s[2]
     tmin = jnp.minimum(jnp.minimum(t[0], t[1]), t[2])
     window = jnp.clip(tmin + 4.0, 0.0, 1.0)
@@ -445,13 +472,21 @@ def _accum_bwd_kernel(coef_ref, zw_ref, col_ref, gnum_ref, gden_ref,
 def _pallas_accum_fwd(coef, zw, color, *, res, cams, interpret):
     b, _, n_faces = zw.shape
     rows = (res * res) // 128
-    band = _band_rows_flat(res)
+    rows_pad, band = _band_plan(res)
     smem2 = lambda n: pl.BlockSpec((cams, 1, n), lambda i, j: (i, 0, 0),
                                    memory_space=pltpu.SMEM)
     num, den, transp = pl.pallas_call(
         functools.partial(_accum_fwd_kernel, n_faces=n_faces, res=res,
                           band=band, cams=cams),
-        grid=(b // cams, rows // band),
+        grid=(b // cams, rows_pad // band),
+        # the unrolled 128-face group keeps enough temporaries live that
+        # the compiler's scoped-vmem STACK wants ~16.3 MB when this kernel
+        # sits inside a larger jit (default limit 16 MB; measured overflow
+        # 296 KB at res 64, B=4 -- tools/certify_compile_matrix.py); v5e
+        # has far more physical VMEM, so raise the cap rather than split
+        # the face loop
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         in_specs=[
             smem2(n_faces * 9),
             smem2(n_faces),
@@ -466,13 +501,16 @@ def _pallas_accum_fwd(coef, zw, color, *, res, cams, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, 3, rows, 128), jnp.float32),
-            jax.ShapeDtypeStruct((b, rows, 128), jnp.float32),
-            jax.ShapeDtypeStruct((b, rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, 3, rows_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, rows_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, rows_pad, 128), jnp.float32),
         ],
         **({'interpret': True} if interpret else {}),
     )(coef.reshape(b, 1, n_faces * 9), zw.reshape(b, 1, n_faces),
       color.reshape(b, 1, n_faces * 3))
+    if rows_pad != rows:
+        num, den, transp = (num[:, :, :rows], den[:, :rows],
+                            transp[:, :rows])
     return num, den, transp
 
 
@@ -480,13 +518,29 @@ def _pallas_accum_bwd(coef, zw, color, gnum, gden, gtransp, *, res, cams,
                       interpret):
     b, _, n_faces = zw.shape
     rows = (res * res) // 128
-    band = _band_rows_flat(res)
+    rows_pad, band = _band_plan(res)
+    if rows_pad != rows:
+        # padded pixel rows carry ZERO cotangents: their every gradient
+        # contribution multiplies by g/gden/gtr = 0 in the kernel
+        dp = rows_pad - rows
+        gnum = jnp.pad(gnum, ((0, 0), (0, 0), (0, dp), (0, 0)))
+        gden = jnp.pad(gden, ((0, 0), (0, dp), (0, 0)))
+        gtransp = jnp.pad(gtransp, ((0, 0), (0, dp), (0, 0)))
+
     smem2 = lambda n: pl.BlockSpec((cams, 1, n), lambda i, j: (i, 0, 0),
                                    memory_space=pltpu.SMEM)
     grow = pl.pallas_call(
         functools.partial(_accum_bwd_kernel, n_faces=n_faces, res=res,
                           band=band, cams=cams),
-        grid=(b // cams, rows // band),
+        grid=(b // cams, rows_pad // band),
+        # the unrolled 128-face group keeps enough temporaries live that
+        # the compiler's scoped-vmem STACK wants ~16.3 MB when this kernel
+        # sits inside a larger jit (default limit 16 MB; measured overflow
+        # 296 KB at res 64, B=4 -- tools/certify_compile_matrix.py); v5e
+        # has far more physical VMEM, so raise the cap rather than split
+        # the face loop
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         in_specs=[
             smem2(n_faces * 9),
             smem2(n_faces),
