@@ -114,7 +114,7 @@ def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
                 return pl.when(cond)
 
             for ci, s in enumerate(range(0, qp, chunk)):
-                @when(qm_ref[c, j, 0, ci] != 0)
+                @when(qm_ref[c, 0, j * (qp // chunk) + ci] != 0)
                 def _(s=s, j=j, c=c, affine=affine):
                     g = jnp.maximum(
                         jnp.abs(affine(qcoef_ref[c, 0, s:s + chunk])),
@@ -126,7 +126,7 @@ def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
                         jnp.min(qv, axis=0, keepdims=True))
 
             for ci, s in enumerate(range(0, tp, chunk)):
-                @when(tm_ref[c, j, 0, ci] != 0)
+                @when(tm_ref[c, 0, j * (tp // chunk) + ci] != 0)
                 def _(s=s, j=j, c=c, affine=affine):
                     emin = jnp.minimum(
                         jnp.minimum(affine(tcoef_ref[c, 0, s:s + chunk]),
@@ -202,39 +202,42 @@ def _fused_cameras_2d(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref,
                 jnp.int32, (rpb, res), 1).astype(jnp.float32) + 0.5
 
             for ci, s in enumerate(range(0, qp, chunk)):
-                @pl.when(qm_ref[c, j, 0, ci] != 0)
+                # flattened SMEM views: qcoef (cams, 1, 2*qp*3) indexed
+                # [(e*qp + p)*3 + k], qpk (cams, 1, qp), masks
+                # (cams, 1, n_bands*chunks) -- see _render_coefs_fused
+                @pl.when(qm_ref[c, 0, j * (qp // chunk) + ci] != 0)
                 def _(s=s, j=j, c=c, lo=lo, hi=hi, px=px, py=py):
                     acc = best_ref[lo:hi, :]
                     for p in range(s, s + chunk):
-                        e0 = (qcoef_ref[c, 0, p, 0] * px
-                              + qcoef_ref[c, 0, p, 1] * py
-                              + qcoef_ref[c, 0, p, 2])
-                        e1 = (qcoef_ref[c, 1, p, 0] * px
-                              + qcoef_ref[c, 1, p, 1] * py
-                              + qcoef_ref[c, 1, p, 2])
+                        e0 = (qcoef_ref[c, 0, p * 3 + 0] * px
+                              + qcoef_ref[c, 0, p * 3 + 1] * py
+                              + qcoef_ref[c, 0, p * 3 + 2])
+                        e1 = (qcoef_ref[c, 0, (qp + p) * 3 + 0] * px
+                              + qcoef_ref[c, 0, (qp + p) * 3 + 1] * py
+                              + qcoef_ref[c, 0, (qp + p) * 3 + 2])
                         g = jnp.maximum(jnp.abs(e0), jnp.abs(e1))
                         acc = jnp.minimum(acc, jnp.where(
-                            g <= 0.5, qpk_ref[c, p, 0], sentinel))
+                            g <= 0.5, qpk_ref[c, 0, p], sentinel))
                     best_ref[lo:hi, :] = acc
 
             for ci, s in enumerate(range(0, tp, chunk)):
-                @pl.when(tm_ref[c, j, 0, ci] != 0)
+                @pl.when(tm_ref[c, 0, j * (tp // chunk) + ci] != 0)
                 def _(s=s, j=j, c=c, lo=lo, hi=hi, px=px, py=py):
                     acc = best_ref[lo:hi, :]
                     for p in range(s, s + chunk):
                         emin = jnp.minimum(
                             jnp.minimum(
-                                tcoef_ref[c, 0, p, 0] * px
-                                + tcoef_ref[c, 0, p, 1] * py
-                                + tcoef_ref[c, 0, p, 2],
-                                tcoef_ref[c, 1, p, 0] * px
-                                + tcoef_ref[c, 1, p, 1] * py
-                                + tcoef_ref[c, 1, p, 2]),
-                            tcoef_ref[c, 2, p, 0] * px
-                            + tcoef_ref[c, 2, p, 1] * py
-                            + tcoef_ref[c, 2, p, 2])
+                                tcoef_ref[c, 0, p * 3 + 0] * px
+                                + tcoef_ref[c, 0, p * 3 + 1] * py
+                                + tcoef_ref[c, 0, p * 3 + 2],
+                                tcoef_ref[c, 0, (tp + p) * 3 + 0] * px
+                                + tcoef_ref[c, 0, (tp + p) * 3 + 1] * py
+                                + tcoef_ref[c, 0, (tp + p) * 3 + 2]),
+                            tcoef_ref[c, 0, (2 * tp + p) * 3 + 0] * px
+                            + tcoef_ref[c, 0, (2 * tp + p) * 3 + 1] * py
+                            + tcoef_ref[c, 0, (2 * tp + p) * 3 + 2])
                         acc = jnp.minimum(acc, jnp.where(
-                            emin >= 0, tpk_ref[c, p, 0], sentinel))
+                            emin >= 0, tpk_ref[c, 0, p], sentinel))
                     best_ref[lo:hi, :] = acc
 
         bg2d = warp_view_packed(fcoef_ref, icoef_ref, c, win_ref.at[c],
@@ -406,9 +409,22 @@ def _render_coefs_fused(mip, fcoef, icoef, qcoef, qpk, tcoef, tpk,
     cam_idx = lambda i: (i, 0, 0, 0)
     cam_idx3 = lambda i: (i, 0, 0)
     use_2d = res != RES or _FORCE_2D
+    # SMEM operands ride FLATTENED to (cams, 1, n) lane-aligned views:
+    # Mosaic pads each trailing SMEM window dim to a whole tile, so e.g. a
+    # (cams, J, 1, C) mask block costs J x 4 KB instead of J*C x 4 B --
+    # the 4D layouts overflowed the 1 MB SMEM budget at res 112 (masks +
+    # 2D-path prim coefficients; tools/certify_compile_matrix.py class)
+    qmask = qmask.reshape(qmask.shape[0], 1, n_bands * cq)
+    tmask = tmask.reshape(tmask.shape[0], 1, n_bands * ct)
     # the flat path reads prim coefficients as (chunk, PIXELS) vector
-    # broadcasts (VMEM); the 2D path reads them as per-prim scalars (SMEM)
+    # broadcasts (VMEM); the 2D path reads them as per-prim SMEM scalars,
+    # flattened for the same reason
     prim_space = pltpu.SMEM if use_2d else pltpu.VMEM
+    if use_2d:
+        qcoef = qcoef.reshape(qcoef.shape[0], 1, 2 * qp * 3)
+        tcoef = tcoef.reshape(tcoef.shape[0], 1, 3 * tp * 3)
+        qpk = qpk.reshape(qpk.shape[0], 1, qp)
+        tpk = tpk.reshape(tpk.shape[0], 1, tp)
     if packed_output:
         out_spec = pl.BlockSpec((cams, res, res), cam_idx3,
                                 memory_space=pltpu.VMEM)
@@ -425,14 +441,25 @@ def _render_coefs_fused(mip, fcoef, icoef, qcoef, qpk, tcoef, tpk,
         in_specs=[
             pl.BlockSpec((cams, 1, 14), cam_idx3, memory_space=pltpu.SMEM),
             pl.BlockSpec((cams, 1, 4), cam_idx3, memory_space=pltpu.SMEM),
-            pl.BlockSpec((cams, n_bands, 1, cq), cam_idx,
+            pl.BlockSpec((cams, 1, n_bands * cq), cam_idx3,
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((cams, n_bands, 1, ct), cam_idx,
+            pl.BlockSpec((cams, 1, n_bands * ct), cam_idx3,
                          memory_space=pltpu.SMEM),
+        ] + ([
+            pl.BlockSpec((cams, 1, 2 * qp * 3), cam_idx3,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((cams, 1, qp), cam_idx3,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((cams, 1, 3 * tp * 3), cam_idx3,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((cams, 1, tp), cam_idx3,
+                         memory_space=pltpu.SMEM),
+        ] if use_2d else [
             pl.BlockSpec((cams, 2, qp, 3), cam_idx, memory_space=prim_space),
             pl.BlockSpec((cams, qp, 1), cam_idx3, memory_space=prim_space),
             pl.BlockSpec((cams, 3, tp, 3), cam_idx, memory_space=prim_space),
             pl.BlockSpec((cams, tp, 1), cam_idx3, memory_space=prim_space),
+        ]) + [
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=out_spec,
