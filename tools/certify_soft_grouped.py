@@ -102,7 +102,7 @@ def correctness():
 def bench():
     verts, faces, attrs, bg, w = scene(0, B, N_TRI, RES)
 
-    def timed(raster_name, raster):
+    def timed(raster):
         f = jax.jit(jax.grad(
             lambda v: loss_fn(raster, v, faces, attrs, bg, w)))
         for _ in range(3):
@@ -114,11 +114,9 @@ def bench():
         fetch(g)
         return (time.perf_counter() - t0) / REPS * 1e3
 
-    pallas_ms = timed(
-        "pallas", lambda v, f_, a, b_: rasterize_softmax_pallas(
-            v, f_, a, RES, b_))
-    xla_ms = timed(
-        "xla", lambda v, f_, a, b_: rasterize_softmax(v, f_, a, RES, b_))
+    pallas_ms = timed(lambda v, f_, a, b_: rasterize_softmax_pallas(
+        v, f_, a, RES, b_))
+    xla_ms = timed(lambda v, f_, a, b_: rasterize_softmax(v, f_, a, RES, b_))
     print(json.dumps({
         "check": "grouped_soft_fwd_bwd_bench",
         "batch": B, "faces": N_TRI, "res": RES,
@@ -135,7 +133,7 @@ def main():
     ok = correctness() if 'correctness' in which else True
     faster = bench() if 'bench' in which else True
     if not ok:
-        print("FAIL: compiled grouped kernels drift from interpret mode",
+        print("FAIL: compiled grouped kernels drift from the XLA reference",
               file=sys.stderr)
         return 1
     if not faster:

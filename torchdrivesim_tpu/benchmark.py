@@ -332,7 +332,7 @@ def run_benchmark(scenario: BenchmarkScenario, steps_per_chunk: int = 50,
     return {
         'env_steps_per_sec': env_steps / elapsed,
         'chunk_rates': chunk_rates,
-        'chunk_rate_median': chunk_rates[len(chunk_rates) // 2],
+        'chunk_rate_median': float(np.median(chunk_rates)),
         'elapsed_sec': elapsed,
         'env_steps': env_steps,
         'batch_size': b,

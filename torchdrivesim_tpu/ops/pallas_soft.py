@@ -123,6 +123,16 @@ def _soft_coefficients(verts, faces, attrs, sigma, gamma):
     return coef, zw, color
 
 
+def _smem_row_spec(cams: int, n: int, grid_dims: int = 1):
+    """(cams, 1, n) SMEM block (same block at every grid step): flattened
+    lane-aligned rows dodge Mosaic's trailing-dim tile padding, which
+    inflates small trailing dims to whole tiles and blows the 1 MB SMEM
+    budget (docs/design.md 3d)."""
+    idx = (lambda i: (i, 0, 0)) if grid_dims == 1 \
+        else (lambda i, j: (i, 0, 0))
+    return pl.BlockSpec((cams, 1, n), idx, memory_space=pltpu.SMEM)
+
+
 def _pixel_grids(res):
     """Pixel-center coordinates on the flat (res*res/128, 128) tile.
 
@@ -265,11 +275,7 @@ def _pallas_soft_fwd(coef, zw, color, background, *, res, cams, interpret):
     b, _, n_faces = zw.shape
     rows = (res * res) // 128
     cam_idx4 = lambda i: (i, 0, 0, 0)
-    # SMEM operands ride FLATTENED to 2D (see _accumulate_face): trailing
-    # window dims pad to whole tiles in SMEM, so (F, 3, 3) would cost
-    # ~1 MB per buffer at F = 128
-    smem2 = lambda n: pl.BlockSpec((cams, 1, n), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.SMEM)
+    smem2 = lambda n: _smem_row_spec(cams, n)
     out = pl.pallas_call(
         functools.partial(_soft_fwd_kernel, n_faces=n_faces, res=res,
                           cams=cams),
@@ -298,8 +304,7 @@ def _pallas_soft_bwd(coef, zw, color, background, g, *, res, cams,
     b, _, n_faces = zw.shape
     rows = (res * res) // 128
     cam_idx4 = lambda i: (i, 0, 0, 0)
-    smem2 = lambda n: pl.BlockSpec((cams, 1, n), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.SMEM)
+    smem2 = lambda n: _smem_row_spec(cams, n)
     grow, gbg = pl.pallas_call(
         functools.partial(_soft_bwd_kernel, n_faces=n_faces, res=res,
                           cams=cams),
@@ -473,8 +478,7 @@ def _pallas_accum_fwd(coef, zw, color, *, res, cams, interpret):
     b, _, n_faces = zw.shape
     rows = (res * res) // 128
     rows_pad, band = _band_plan(res)
-    smem2 = lambda n: pl.BlockSpec((cams, 1, n), lambda i, j: (i, 0, 0),
-                                   memory_space=pltpu.SMEM)
+    smem2 = lambda n: _smem_row_spec(cams, n, grid_dims=2)
     num, den, transp = pl.pallas_call(
         functools.partial(_accum_fwd_kernel, n_faces=n_faces, res=res,
                           band=band, cams=cams),
@@ -527,8 +531,7 @@ def _pallas_accum_bwd(coef, zw, color, gnum, gden, gtransp, *, res, cams,
         gden = jnp.pad(gden, ((0, 0), (0, dp), (0, 0)))
         gtransp = jnp.pad(gtransp, ((0, 0), (0, dp), (0, 0)))
 
-    smem2 = lambda n: pl.BlockSpec((cams, 1, n), lambda i, j: (i, 0, 0),
-                                   memory_space=pltpu.SMEM)
+    smem2 = lambda n: _smem_row_spec(cams, n, grid_dims=2)
     grow = pl.pallas_call(
         functools.partial(_accum_bwd_kernel, n_faces=n_faces, res=res,
                           band=band, cams=cams),
