@@ -44,9 +44,13 @@ from torchdrivesim_tpu.ops.pallas_warp import (
 #: reasoning as the standalone warp kernel's CAMS_PER_PROGRAM)
 CAMS_PER_PROGRAM = int(os.environ.get('TDS_FUSED_CAMS', '4'))
 
-#: experiment knob: route res == 128 through the 2D SMEM-scalar prim path
-#: (skips the per-band (1, 4096) -> (32, 128) relayout; see _fused_cameras_2d)
+#: knob: route res == 128 through the 2D SMEM-scalar prim path. DEFAULT
+#: since round 5: the SMEM operand flattening made the 2D path 32% faster
+#: than the flat (1, 4096) relayout path at the headline config (295.7k
+#: -> 389.6k env-steps/s, bit-identical output -- tools/probe_fused_2d.py);
+#: TDS_FUSED_FLAT=1 restores the flat path for A/B.
 _FORCE_2D = os.environ.get('TDS_FUSED_2D') == '1'
+_FORCE_FLAT = os.environ.get('TDS_FUSED_FLAT') == '1'
 #: experiment knob (timing-only ablations; wrong pixels): '' | 'nowarp' |
 #: 'nobest' | 'nobranch' | 'empty' | 'skip' (no pallas_call at all --
 #: isolates program-launch + output-write overhead vs 'empty') |
@@ -408,7 +412,7 @@ def _render_coefs_fused(mip, fcoef, icoef, qcoef, qpk, tcoef, tpk,
 
     cam_idx = lambda i: (i, 0, 0, 0)
     cam_idx3 = lambda i: (i, 0, 0)
-    use_2d = res != RES or _FORCE_2D
+    use_2d = res != RES or _FORCE_2D or not _FORCE_FLAT
     # SMEM operands ride FLATTENED to (cams, 1, n) lane-aligned views:
     # Mosaic pads each trailing SMEM window dim to a whole tile, so e.g. a
     # (cams, J, 1, C) mask block costs J x 4 KB instead of J*C x 4 B --
