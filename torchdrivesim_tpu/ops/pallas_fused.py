@@ -198,7 +198,7 @@ def _fused_cameras_2d(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref,
 
     for c in range(cams):
         best_ref[:, :] = jnp.full((res, res), sentinel, jnp.int32)
-        for j in range(n_bands):
+        for j in range(n_bands if _ABLATE != 'nobest' else 0):
             lo, hi = j * rpb, (j + 1) * rpb
             px = jax.lax.broadcasted_iota(
                 jnp.int32, (rpb, res), 0).astype(jnp.float32) + (lo + 0.5)
@@ -244,9 +244,20 @@ def _fused_cameras_2d(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref,
                             emin >= 0, tpk_ref[c, 0, p], sentinel))
                     best_ref[lo:hi, :] = acc
 
-        bg2d = warp_view_packed(fcoef_ref, icoef_ref, c, win_ref.at[c],
-                                dmas[c], tmp_ref=tmp_ref,
-                                out_tmp_ref=out_tmp_ref)[:res, :res]
+        if _ABLATE == 'nowarp':
+            dmas[c].wait()
+            bg2d = win_ref[c, :res, :res]
+        else:
+            bg2d = warp_view_packed(fcoef_ref, icoef_ref, c, win_ref.at[c],
+                                    dmas[c], tmp_ref=tmp_ref,
+                                    out_tmp_ref=out_tmp_ref)[:res, :res]
+        if _ABLATE == 'nocomp':
+            if packed_out:
+                out_ref[c] = bg2d
+            else:
+                for ch in range(3):
+                    out_ref[c, ch] = bg2d.astype(jnp.float32)
+            continue
         best = best_ref[:, :]
         covered = best < (127 << 24)             # valid ranks <= 126
         if packed_out:
