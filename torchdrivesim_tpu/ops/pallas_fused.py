@@ -60,6 +60,10 @@ _ABLATE = os.environ.get('TDS_FUSED_ABLATE', '')
 #: experiment knob: prim chunk size for the @pl.when occupancy masking
 #: (finer chunks skip more dead prims but emit more branches)
 _CHUNK = int(os.environ.get('TDS_FUSED_CHUNK', '8'))
+#: experiment knob: per-camera warp scratch (tmp/out_tmp) -- breaks the
+#: cross-camera serialization on the shared buffers so camera c+1's prim
+#: math can overlap camera c's warp (VMEM cost: cams x ~0.75 MB)
+_PRIVSCRATCH = os.environ.get('TDS_FUSED_PRIVSCRATCH') == '1'
 
 
 def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
@@ -248,9 +252,11 @@ def _fused_cameras_2d(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref,
             dmas[c].wait()
             bg2d = win_ref[c, :res, :res]
         else:
+            tr = tmp_ref.at[c] if _PRIVSCRATCH else tmp_ref
+            otr = out_tmp_ref.at[c] if _PRIVSCRATCH else out_tmp_ref
             bg2d = warp_view_packed(fcoef_ref, icoef_ref, c, win_ref.at[c],
-                                    dmas[c], tmp_ref=tmp_ref,
-                                    out_tmp_ref=out_tmp_ref)[:res, :res]
+                                    dmas[c], tmp_ref=tr,
+                                    out_tmp_ref=otr)[:res, :res]
         if _ABLATE == 'nocomp':
             if packed_out:
                 out_ref[c] = bg2d
@@ -484,8 +490,10 @@ def _render_coefs_fused(mip, fcoef, icoef, qcoef, qpk, tcoef, tpk,
             pltpu.SemaphoreType.DMA((cams,)),
             pltpu.VMEM((res, res), jnp.int32) if use_2d
             else pltpu.VMEM((n_bands, PIXELS_PER_TILE), jnp.int32),
-            pltpu.VMEM((WINDOW, RES), jnp.int32),
-            pltpu.VMEM((RES, RES), jnp.int32),
+            pltpu.VMEM((cams, WINDOW, RES) if _PRIVSCRATCH
+                       else (WINDOW, RES), jnp.int32),
+            pltpu.VMEM((cams, RES, RES) if _PRIVSCRATCH
+                       else (RES, RES), jnp.int32),
         ],
     )(fcoef, icoef, qmask, tmask, qcoef, qpk, tcoef, tpk, mip.data[..., 0])
     if b_pad != b:
