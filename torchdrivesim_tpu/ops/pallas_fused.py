@@ -10,12 +10,13 @@ window): the program kicks off its window copy, resolves the per-band
 packed prim winners while the copy is in flight, then warps the window and
 composites bands in one pass.
 
-Layout note: the prim math runs on FLAT (1, PIXELS_PER_TILE) pixel tiles
-(the broadcast-FMA form the VPU likes; see ``ops/pallas_rasterize.py``)
-while the warp's lane gathers need the 2D (RES, RES) view. The band winner
-is bridged between the two with an in-VMEM relayout
-(``(1, 4096) -> (32, 128)``), which Mosaic supports and costs far less than
-the HBM round trip it replaces.
+Layout note: since round 5 the prim math runs on 2D ``(rows, res)``
+tiles with per-prim scalar coefficients read from flattened lane-aligned
+SMEM views (``_fused_cameras_2d``) -- measured 32% faster than the
+original flat ``(1, PIXELS_PER_TILE)`` broadcast-FMA form once the SMEM
+operands stopped paying Mosaic's trailing-dim tile padding, and the
+winner is born in the warp's (RES, RES) layout so no relayout remains.
+The flat path is kept behind ``TDS_FUSED_FLAT=1`` for A/B.
 
 Replaces the composite step of the reference's renderer stack
 (`torchdrivesim/rendering/pytorch3d.py:89-127`), which rasterizes the full
