@@ -142,3 +142,59 @@ def test_fused_camera_batching_padding(interpret_mode, b):
         mip, cam_xy, cam_sc, scale, bg_color, sq, qz, qc, st, tz, tc,
         qmask, tmask)
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
+def test_flat_path_matches_2d_default(monkeypatch):
+    """The retained flat (relayout) path must stay bit-identical to the 2D
+    default at res 128 -- it is kept as the A/B reference
+    (TDS_FUSED_FLAT=1) and would otherwise be unreachable in CI."""
+    import functools
+
+    import torchdrivesim_tpu.ops.pallas_fused as PF
+    import torchdrivesim_tpu.ops.pallas_warp as PW
+    from torchdrivesim_tpu.ops.grids import Grid2D
+    from torchdrivesim_tpu.ops.rasterize import (
+        sort_prims_rowmajor_with_masks)
+
+    for mod in (PF, PW):
+        monkeypatch.setattr(mod.pl, 'pallas_call', functools.partial(
+            mod.pl.pallas_call, interpret=True))
+
+    rng = np.random.RandomState(5)
+    b, q, t, res = 4, 20, 12, 128
+    c0 = rng.uniform(-20, 140, (b, q, 2))
+    e1 = rng.randn(b, q, 2) * 12
+    e2 = rng.randn(b, q, 2) * 12
+    quads = jnp.asarray(np.stack([c0, c0 + e1, c0 + e1 + e2, c0 + e2], 2),
+                        jnp.float32)
+    tris = jnp.asarray(rng.uniform(-20, 140, (b, t, 3, 2)), jnp.float32)
+    qz = jnp.asarray(rng.rand(b, q), jnp.float32)
+    tz = jnp.asarray(rng.rand(b, t), jnp.float32)
+    qc = jnp.asarray(rng.rand(b, q, 3), jnp.float32)
+    tc = jnp.asarray(rng.rand(b, t, 3), jnp.float32)
+    mip = Grid2D(
+        data=jnp.asarray(rng.randint(0, 2 ** 24, (256, 256, 1)).astype(
+            np.int32)),
+        origin=np.asarray([-60.0, -60.0], np.float32),
+        cell_size=np.float32(2.0 / 70 * PW.MIP_FACTOR))
+    cam_xy = jnp.asarray(rng.uniform(-5, 5, (b, 2)), jnp.float32)
+    th = rng.uniform(0, 6.28, b).astype(np.float32)
+    cam_sc = jnp.stack([jnp.asarray(np.sin(th)), jnp.asarray(np.cos(th))],
+                       -1)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+
+    sq, qz2, qc2, qm = sort_prims_rowmajor_with_masks(quads, qz, qc, res,
+                                                      56, 4)
+    st, tz2, tc2, tm = sort_prims_rowmajor_with_masks(tris, tz, tc, res,
+                                                      56, 4)
+
+    def render():
+        return np.asarray(PF.render_prims_fused_pallas(
+            mip, cam_xy, cam_sc, 2.0 / 70, bg, sq, qz2, qc2, st, tz2, tc2,
+            qm, tm))
+
+    img_2d = render()                       # default
+    monkeypatch.setattr(PF, '_FORCE_FLAT', True)
+    img_flat = render()
+    np.testing.assert_array_equal(img_2d, img_flat)
+    assert img_2d.max() > 0

@@ -1,6 +1,7 @@
-"""Compare the flat (relayout) vs forced-2D fused-kernel paths at res=128:
-bit-equality on one frame, then scan timing (TDS_FUSED_2D=1 flips the
-production kernel; this script spawns itself for the flipped half)."""
+"""Compare the flat (relayout) vs 2D fused-kernel paths at res=128:
+bit-equality on one frame, then scan timing. The 2D path is the DEFAULT
+since round 5; TDS_FUSED_FLAT=1 restores the flat path (this script
+spawns itself with it set for the flat half)."""
 import os
 import subprocess
 import sys
@@ -90,7 +91,8 @@ if __name__ == '__main__':
         run_once(sys.argv[1])
     else:
         env = dict(os.environ)
+        env['TDS_FUSED_FLAT'] = '1'
         subprocess.run([sys.executable, __file__, 'flat'], env=env, check=True)
-        env['TDS_FUSED_2D'] = '1'
-        subprocess.run([sys.executable, __file__, 'forced2d'], env=env,
+        env.pop('TDS_FUSED_FLAT')
+        subprocess.run([sys.executable, __file__, 'default2d'], env=env,
                        check=True)

@@ -45,12 +45,11 @@ from torchdrivesim_tpu.ops.pallas_warp import (
 #: reasoning as the standalone warp kernel's CAMS_PER_PROGRAM)
 CAMS_PER_PROGRAM = int(os.environ.get('TDS_FUSED_CAMS', '4'))
 
-#: knob: route res == 128 through the 2D SMEM-scalar prim path. DEFAULT
-#: since round 5: the SMEM operand flattening made the 2D path 32% faster
-#: than the flat (1, 4096) relayout path at the headline config (295.7k
-#: -> 389.6k env-steps/s, bit-identical output -- tools/probe_fused_2d.py);
-#: TDS_FUSED_FLAT=1 restores the flat path for A/B.
-_FORCE_2D = os.environ.get('TDS_FUSED_2D') == '1'
+#: the 2D SMEM-scalar prim path is the DEFAULT at every resolution since
+#: round 5: the SMEM operand flattening made it 32% faster than the flat
+#: (1, 4096) relayout path at the headline config (295.7k -> 389.6k
+#: env-steps/s, bit-identical output -- tools/probe_fused_2d.py);
+#: TDS_FUSED_FLAT=1 restores the flat path (res 128 only) for A/B.
 _FORCE_FLAT = os.environ.get('TDS_FUSED_FLAT') == '1'
 #: experiment knob (timing-only ablations; wrong pixels): '' | 'nowarp' |
 #: 'nobest' | 'nobranch' | 'empty' | 'skip' (no pallas_call at all --
@@ -92,10 +91,11 @@ def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
     rpb = band_rows(res)                         # rows per band
 
     if res != RES or use_2d:
-        # res < 128: the (1, PIXELS) -> (rpb, res) relayout the flat path
-        # bridges with is unsupported by Mosaic for non-128 lane counts, so
-        # the prim winners resolve directly on 2D (rpb, res) tiles -- same
-        # broadcast-FMA structure, one extra leading chunk dim
+        # DEFAULT: prim winners resolve on 2D (rpb, res) tiles from
+        # SMEM-scalar coefficients (32% faster than the flat relayout
+        # path at res 128 after the SMEM flattening; the only path at
+        # res < 128, whose (1, PIXELS) -> (rpb, res) relayout Mosaic
+        # rejects for non-128 lane counts)
         _fused_cameras_2d(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref,
                           qpk_ref, tcoef_ref, tpk_ref, out_ref, win_ref,
                           best_ref, tmp_ref, out_tmp_ref, dmas, res=res, qp=qp, tp=tp,
@@ -152,9 +152,11 @@ def _fused_kernel(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref, qpk_ref,
             dmas[c].wait()
             bg2d = win_ref[c, :, :RES]
         else:
+            tr = tmp_ref.at[c] if _PRIVSCRATCH else tmp_ref
+            otr = out_tmp_ref.at[c] if _PRIVSCRATCH else out_tmp_ref
             bg2d = warp_view_packed(fcoef_ref, icoef_ref, c, win_ref.at[c],
-                                    dmas[c], tmp_ref=tmp_ref,
-                                    out_tmp_ref=out_tmp_ref)
+                                    dmas[c], tmp_ref=tr,
+                                    out_tmp_ref=otr)
 
         if _ABLATE == 'nocomp':
             out_ref[c, 0, :, :] = bg2d.astype(jnp.float32)
@@ -187,7 +189,8 @@ def _fused_cameras_2d(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref,
                       qpk_ref, tcoef_ref, tpk_ref, out_ref, win_ref,
                       best_ref, tmp_ref, out_tmp_ref, dmas, *, res, qp, tp, chunk,
                       n_bands, cams, packed_out=False):
-    """Per-camera winner resolution + composite for res < 128 outputs.
+    """Per-camera winner resolution + composite on 2D tiles -- the
+    DEFAULT path at every resolution since round 5.
 
     Identical winner semantics to the flat path, but the per-band affine
     evaluation runs on 2D ``(rows_per_band, res)`` tiles driven by SMEM
@@ -200,6 +203,11 @@ def _fused_cameras_2d(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref,
     sentinel = np.int32(0x7FFFFFFF)
     inv255 = 1.0 / 255.0
     rpb = band_rows(res)                         # rows per band
+
+    def when(cond):
+        if _ABLATE == 'nobranch':
+            return lambda fn: fn()
+        return pl.when(cond)
 
     for c in range(cams):
         best_ref[:, :] = jnp.full((res, res), sentinel, jnp.int32)
@@ -214,7 +222,7 @@ def _fused_cameras_2d(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref,
                 # flattened SMEM views: qcoef (cams, 1, 2*qp*3) indexed
                 # [(e*qp + p)*3 + k], qpk (cams, 1, qp), masks
                 # (cams, 1, n_bands*chunks) -- see _render_coefs_fused
-                @pl.when(qm_ref[c, 0, j * (qp // chunk) + ci] != 0)
+                @when(qm_ref[c, 0, j * (qp // chunk) + ci] != 0)
                 def _(s=s, j=j, c=c, lo=lo, hi=hi, px=px, py=py):
                     acc = best_ref[lo:hi, :]
                     for p in range(s, s + chunk):
@@ -230,7 +238,7 @@ def _fused_cameras_2d(fcoef_ref, icoef_ref, qm_ref, tm_ref, qcoef_ref,
                     best_ref[lo:hi, :] = acc
 
             for ci, s in enumerate(range(0, tp, chunk)):
-                @pl.when(tm_ref[c, 0, j * (tp // chunk) + ci] != 0)
+                @when(tm_ref[c, 0, j * (tp // chunk) + ci] != 0)
                 def _(s=s, j=j, c=c, lo=lo, hi=hi, px=px, py=py):
                     acc = best_ref[lo:hi, :]
                     for p in range(s, s + chunk):
@@ -430,7 +438,7 @@ def _render_coefs_fused(mip, fcoef, icoef, qcoef, qpk, tcoef, tpk,
 
     cam_idx = lambda i: (i, 0, 0, 0)
     cam_idx3 = lambda i: (i, 0, 0)
-    use_2d = res != RES or _FORCE_2D or not _FORCE_FLAT
+    use_2d = res != RES or not _FORCE_FLAT
     # SMEM operands ride FLATTENED to (cams, 1, n) lane-aligned views:
     # Mosaic pads each trailing SMEM window dim to a whole tile, so e.g. a
     # (cams, J, 1, C) mask block costs J x 4 KB instead of J*C x 4 B --
